@@ -1,0 +1,95 @@
+"""Config system.
+
+API-parity with the reference's ``config.JSON`` + ``get_config()``
+(ref: Code/utils.py:157-158, keys documented in Readme.md:28-43), with extra
+TPU-framework knobs that default to reference behaviour.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass
+class Config:
+    # --- reference keys (Code/config.JSON:1-19) ---
+    cluster_path: str = ""
+    mcool_path: str = ""
+    resolution: int = 1_000_000
+    chrom_list: Sequence[str] = dataclasses.field(default_factory=list)
+    chrom_size: str = ""               # chrom-sizes TSV path
+    temp_dir: str = "./Temp"
+    max_cluster_size: int = 25
+    min_distance: int = 0
+    kmer_size: Sequence[int] = (2, 3, 4, 5)   # JSON key "k-mer_size"
+    min_freq_cutoff: int = 2
+    quantile_cutoff_for_positive: float = 0.6
+    quantile_cutoff_for_unlabel: float = 0.4
+    embed_dim: int = 64
+
+    # --- training defaults (hardcoded in ref Code/main.py:527-533,630,643,679) ---
+    neg_num: int = 3
+    batch_size: int = 96
+    num_batch_per_iter: int = 1000
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.01
+    n_head: int = 8
+    stage1_epochs: int = 3
+    stage2_epochs: int = 30
+    stage1_alpha: float = 0.0
+    stage1_beta: float = 1.0
+    stage2_alpha: float = 1.0
+    stage2_beta: float = 0.001
+    seed: int = 0
+
+    # --- TPU-framework knobs (no reference equivalent) ---
+    param_dtype: str = "float32"       # parameter dtype
+    table_dtype: str = "float32"       # frozen feature/target table dtype ("bfloat16" to halve HBM)
+    max_neg_trials: int = 64           # bound on the device rejection loop (ref loop is unbounded)
+    bloom_error_rate: float = 1e-3     # matches pybloom_live err in ref Code/utils.py:83-85
+    mesh_data: int = 1                 # data-parallel axis size
+    mesh_model: int = 1                # model-parallel (node-shard) axis size
+
+    def __post_init__(self):
+        self.chrom_list = list(self.chrom_list)
+        self.kmer_size = [int(k) for k in self.kmer_size]
+
+    @property
+    def min_size(self) -> int:
+        return int(min(self.kmer_size))
+
+    @property
+    def max_size(self) -> int:
+        return int(max(self.kmer_size))
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["k-mer_size"] = d.pop("kmer_size")
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        d = dict(d)
+        if "k-mer_size" in d:
+            d["kmer_size"] = d.pop("k-mer_size")
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = {k: v for k, v in d.items() if k not in known}
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+def load_config(path: str | None = None) -> Config:
+    """Load a config JSON.  Mirrors ``get_config()`` (ref Code/utils.py:157-158)
+    which reads ``./config.JSON`` from the CWD when no path is given."""
+    if path is None:
+        path = os.path.join(os.getcwd(), "config.JSON")
+    with open(path) as f:
+        return Config.from_dict(json.load(f))

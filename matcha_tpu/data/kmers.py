@@ -1,0 +1,137 @@
+"""k-mer (sub-hyperedge) enumeration and counting.
+
+Semantics match the reference's ``generate_kmers.py`` (ref: Code/generate_kmers.py:8-145):
+for each k, over all clusters with ``k <= |cluster| <= max_cluster_size``, count
+every sorted k-subset of the cluster whose adjacent node-id gaps all exceed
+``min_distance``; keep k-mers with total count >= ``min_freq_cutoff``.
+
+(The reference anchors enumeration on the minimum member — ``combinations(members
+> i + min_dis, k-1)`` per anchor ``i`` plus an adjacent-gap filter for k>2 —
+which is exactly the "all adjacent gaps > min_distance" rule stated above, with
+each k-subset counted once at its minimum element.)
+
+The per-anchor Python ``itertools.combinations`` loop + process pool of the
+reference becomes: group clusters by size, apply a precomputed combination
+index template per (size, k) in one gather, filter gaps vectorized, and count
+via lexsort + run-length encoding.  A multithreaded C++ kernel
+(matcha_tpu/native) is used when available for the enumeration+count.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from itertools import combinations
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _comb_template(size: int, k: int) -> np.ndarray:
+    """(C(size,k), k) int array of member-position combinations (ascending)."""
+    return np.array(list(combinations(range(size), k)), dtype=np.int64)
+
+
+def _count_rows(kmers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Count duplicate rows: returns (unique_rows lexsorted, counts)."""
+    if kmers.shape[0] == 0:
+        return kmers, np.zeros((0,), dtype=np.int64)
+    order = np.lexsort(kmers.T[::-1])
+    sk = kmers[order]
+    change = np.any(sk[1:] != sk[:-1], axis=1)
+    first = np.flatnonzero(np.concatenate([[True], change]))
+    counts = np.diff(np.concatenate([first, [sk.shape[0]]]))
+    return sk[first], counts
+
+
+def _merge_counts(a: Tuple[np.ndarray, np.ndarray],
+                  b: Tuple[np.ndarray, np.ndarray],
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge two (unique_rows, counts) pairs (rows may overlap)."""
+    rows = np.concatenate([a[0], b[0]], axis=0)
+    cnt = np.concatenate([a[1], b[1]])
+    order = np.lexsort(rows.T[::-1])
+    rows, cnt = rows[order], cnt[order]
+    change = np.any(rows[1:] != rows[:-1], axis=1)
+    first = np.flatnonzero(np.concatenate([[True], change]))
+    seg = np.concatenate([first, [rows.shape[0]]])
+    merged = np.add.reduceat(cnt, first)
+    return rows[first], merged
+
+
+def count_kmers(flat: np.ndarray, offsets: np.ndarray, k: int,
+                max_cluster_size: int, min_distance: int,
+                chunk_kmers: int = 8_000_000,
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Count all gap-filtered sorted k-subsets over the cluster set.
+
+    Args:
+      flat, offsets: CSR cluster encoding (members sorted & distinct per cluster).
+      chunk_kmers: approximate number of enumerated k-mers per processing chunk
+        (bounds peak memory; counts are merged across chunks).
+
+    Returns: (kmers (N, k) int32 lexsorted, freqs (N,) int64)
+    """
+    from matcha_tpu.native import kmer_native
+    if kmer_native.available():
+        return kmer_native.count_kmers(flat, offsets, k, max_cluster_size,
+                                       min_distance)
+    return _count_kmers_numpy(flat, offsets, k, max_cluster_size, min_distance,
+                              chunk_kmers)
+
+
+def _count_kmers_numpy(flat, offsets, k, max_cluster_size, min_distance,
+                       chunk_kmers):
+    sizes = np.diff(offsets)
+    acc: Tuple[np.ndarray, np.ndarray] | None = None
+
+    for s in range(k, max_cluster_size + 1):
+        idx = np.flatnonzero(sizes == s)
+        if idx.size == 0:
+            continue
+        # (M, s) matrix of member ids for all clusters of this size
+        starts = offsets[idx]
+        members = flat[starts[:, None] + np.arange(s)[None, :]]
+        tmpl = _comb_template(s, k)                   # (C, k)
+        per_cluster = tmpl.shape[0]
+        clusters_per_chunk = max(1, chunk_kmers // max(per_cluster, 1))
+        for lo in range(0, members.shape[0], clusters_per_chunk):
+            block = members[lo:lo + clusters_per_chunk]
+            kmers = block[:, tmpl]                    # (m, C, k)
+            kmers = kmers.reshape(-1, k)
+            gaps = np.diff(kmers, axis=1)
+            ok = (gaps > min_distance).all(axis=1)
+            kmers = np.ascontiguousarray(kmers[ok], dtype=np.int32)
+            part = _count_rows(kmers)
+            acc = part if acc is None else _merge_counts(acc, part)
+
+    if acc is None:
+        return (np.zeros((0, k), dtype=np.int32), np.zeros((0,), dtype=np.int64))
+    return acc
+
+
+def generate_kmers(flat: np.ndarray, offsets: np.ndarray, k_list, *,
+                   max_cluster_size: int, min_distance: int,
+                   min_freq_cutoff: int, temp_dir: str | None = None,
+                   verbose: bool = True,
+                   ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Full k-mer generation pass; optionally writes reference-layout artifacts
+    ``all_<k>_counter.npy`` / ``all_<k>_freq_counter.npy``
+    (ref Code/generate_kmers.py:140-141)."""
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for k in k_list:
+        kmers, freqs = count_kmers(flat, offsets, int(k), max_cluster_size,
+                                   min_distance)
+        keep = freqs >= min_freq_cutoff
+        kmers, freqs = kmers[keep], freqs[keep]
+        out[int(k)] = (kmers, freqs)
+        if verbose:
+            hist = {c: int((freqs >= c).sum()) for c in range(2, 9)}
+            print(f"k={k}: {len(freqs)} k-mers  freq>=c histogram {hist}")
+        if temp_dir is not None:
+            os.makedirs(temp_dir, exist_ok=True)
+            np.save(os.path.join(temp_dir, f"all_{k}_counter.npy"), kmers)
+            np.save(os.path.join(temp_dir, f"all_{k}_freq_counter.npy"),
+                    freqs.astype(np.float32))
+    return out

@@ -1,0 +1,263 @@
+"""The Hyper-SAGNN hyperedge classifier, TPU-first.
+
+Capability parity with the reference's ``MultipleEmbedding`` + ``Classifier``
+(ref: Code/Modules.py:125-318) with one structural re-design for TPU:
+
+  The reference gathers a frozen per-chromosome corrcoef row per node
+  occurrence and pushes it through a per-chromosome tied autoencoder inside a
+  Python mask loop (ref Code/Modules.py:176-189).  Here the *entire* frozen
+  feature table is encoded once per step — one (n_c × n_c)·(n_c × d) matmul
+  chain per chromosome, all MXU — producing a node-embedding table
+  ``H ∈ (N+1, d)``; the per-batch path is then a single gather ``H[x]``.
+  Mathematically identical in eval mode; in train mode feature-dropout is
+  applied per node row per step instead of per occurrence per batch (noted
+  deviation, same regularizer in expectation).
+
+Parity quirks preserved (see SURVEY.md §2.9):
+  * the encoder's "static" output is the pre-attention embedding
+    tanh(next_w(node+attr)) (ref Code/Modules.py:611-617)
+  * forward returns raw logits, no sigmoid (loss is BCE-with-logits,
+    ref Code/main.py:529)
+  * score = masked mean over positions of pff_classifier((dynamic-static)^2)
+    with +1e-15 guard (ref Code/Modules.py:294-311)
+  * inter-chromosome reconstruction auxiliary loss against z-scored inter
+    contact rows of ONE random chromosome, ×100 (ref Code/Modules.py:192-199)
+  * dead branches (encode2, MHA fc2, pff_n2, tied-AE decode biases) receive no
+    gradients in the reference and are omitted here (they stay at init there).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tpu.models import modules as nn
+from matcha_tpu.models.modules import (dropout, encoder_layer,
+                                       encoder_layer_init, feed_forward,
+                                       feed_forward_init, layer_norm,
+                                       layer_norm_init, linear, linear_init,
+                                       pff, pff_init, tanh)
+
+
+class ModelDims(NamedTuple):
+    """Static model geometry (jit-static)."""
+    dim: int = 64               # embed_dim == d_model == d_k == d_v == bottleneck
+    n_head: int = 8
+    diag_mask: bool = True
+    feature_dropout: float = 0.2   # ref Code/Modules.py:174
+    num_chroms: int = 0
+    num_nodes: int = 0          # N (excluding pad id 0)
+
+
+class FrozenTables(NamedTuple):
+    """Non-trainable device buffers."""
+    features: Tuple[jnp.ndarray, ...]   # per-chrom corrcoef (n_c, n_c)
+    attr_table: jnp.ndarray             # (N+1, C+1) one-hot chrom + scaled coord
+    inter_z: jnp.ndarray                # (N, N) row-z-scored inter contacts
+    chrom_of_node: jnp.ndarray          # (N+1,) int32
+    chrom_bounds: jnp.ndarray           # (C, 2) node-id [start, end)
+
+
+# --------------------------------------------------------------------- init
+def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int]) -> Dict:
+    """Build the trainable parameter pytree.
+
+    chrom_sizes: number of bins per chromosome (widths of the corrcoef
+    feature tables)."""
+    d = dims.dim
+    keys = jax.random.split(key, 8 + 2 * len(chrom_sizes))
+    ae, recon = [], []
+    for c, n_c in enumerate(chrom_sizes):
+        k1, k2 = jax.random.split(keys[8 + c])
+        # tied autoencoder [n_c, d, d], use_bias=False (ref Code/Modules.py:163)
+        # kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)) per layer
+        ae.append({
+            "w1": linear_init(k1, n_c, d, use_bias=False)["w"],
+            "w2": linear_init(k2, d, d, use_bias=False)["w"],
+        })
+        # per-chrom inter-recon decoder FeedForward([d, n_c]) (ref :166)
+        recon.append(linear_init(keys[8 + len(chrom_sizes) + c], d, n_c))
+
+    attr_dim = len(chrom_sizes) + 1
+    return {
+        "embed": {"ae": ae, "recon": recon},
+        "attr_nn": linear_init(keys[0], attr_dim, d),      # ref :248
+        "next_w": feed_forward_init(keys[1], [d, d]),      # Classifier.next_w :242
+        "encoder": encoder_layer_init(keys[2], dims.n_head, d, d, d, d),
+        "ln_dynamic": layer_norm_init(d),                  # layer_norm1 :240
+        "ln_static": layer_norm_init(d),                   # layer_norm2 :241
+        "pff_classifier": pff_init(keys[3], [d, 1]),       # :218
+    }
+
+
+def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
+                        table_dtype=jnp.float32) -> FrozenTables:
+    """Host-side construction of the frozen buffers.
+
+    * features: per-chromosome row-wise corrcoef of the intra-chrom contact
+      block, NaN->0 (ref Code/main.py:569-577)
+    * attr_table: one-hot chromosome + coordinate scaled by the first
+      chromosome's bin count; row 0 zeros for padding (ref Code/main.py:497-512)
+    * inter_z: per-row z-score over positive entries of the inter-chrom
+      matrix, NaN->0 (ref Code/Modules.py:146-152); stored with a leading
+      zero row so it can be indexed by node id directly.
+    """
+    C = genome.num_chroms
+    n = genome.num_nodes
+    features = []
+    for c in range(C):
+        s, e = genome.chrom_range[c]
+        block = intra_adj[s - 1:e - 1, s - 1:e - 1].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.corrcoef(block)
+        corr = np.nan_to_num(corr, nan=0.0).astype(np.float32)
+        features.append(jnp.asarray(corr, dtype=table_dtype))
+
+    sizes = genome.bins_per_chrom
+    attr = np.zeros((n + 1, C + 1), dtype=np.float32)
+    for c in range(C):
+        s, e = genome.chrom_range[c]
+        attr[s:e, c] = 1.0
+        attr[s:e, C] = np.arange(e - s, dtype=np.float32) / float(sizes[0])
+
+    inter = np.asarray(inter_adj, dtype=np.float32).copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i in range(inter.shape[0]):
+            row = inter[i]
+            pos = row > 0
+            if pos.any():
+                sel = row[pos]
+                std = sel.std()
+                row[pos] = (sel - sel.mean()) / std if std > 0 else 0.0
+    inter = np.nan_to_num(inter, nan=0.0)
+    inter_z = np.zeros((n + 1, n), dtype=np.float32)
+    inter_z[1:, :] = inter   # row x holds inter contacts of node x (x>=1)
+
+    return FrozenTables(
+        features=tuple(features),
+        attr_table=jnp.asarray(attr),
+        inter_z=jnp.asarray(inter_z, dtype=table_dtype),
+        chrom_of_node=jnp.asarray(genome.node2chrom, dtype=jnp.int32),
+        chrom_bounds=jnp.asarray(genome.chrom_range, dtype=jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------- embedding
+def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
+                      key: Optional[jax.Array] = None, train: bool = False,
+                      ) -> jnp.ndarray:
+    """Encode every chromosome's frozen feature table through its tied
+    autoencoder -> node embedding table H of shape (N+1, dim); row 0 zeros.
+
+    This is the TPU replacement for the reference's per-batch mask loop
+    (ref Code/Modules.py:176-189): H = tanh(X @ W1) @ W2 per chromosome.
+    """
+    blocks = [jnp.zeros((1, dims.dim), dtype=jnp.float32)]
+    for c, x in enumerate(frozen.features):
+        if train and key is not None:
+            key, kd = jax.random.split(key)
+            x = dropout(kd, x.astype(jnp.float32), dims.feature_dropout, train)
+        else:
+            x = x.astype(jnp.float32)
+        ae = params["embed"]["ae"][c]
+        h = jnp.tanh(x @ ae["w1"]) @ ae["w2"]
+        blocks.append(h)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def recon_loss_fn(params: Dict, frozen: FrozenTables, dims: ModelDims,
+                  x_flat: jnp.ndarray, emb_flat: jnp.ndarray,
+                  key: jax.Array) -> jnp.ndarray:
+    """Inter-chromosomal reconstruction auxiliary loss
+    (ref Code/Modules.py:192-199): pick one random chromosome r; for batch
+    nodes NOT on r, decode FF_r(tanh(embed)) and MSE against the z-scored
+    inter-contact row restricted to r's columns; ×100."""
+    r = jax.random.randint(key, (), 0, dims.num_chroms)
+    chrom = frozen.chrom_of_node[x_flat]
+    mask = (chrom != r) & (x_flat != 0)
+
+    # column offsets of each chromosome's block in the (·, N) inter matrix —
+    # static, derived from the per-chrom feature table shapes
+    widths = [f.shape[0] for f in frozen.features]
+    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]]).tolist()
+
+    # column block of chromosome r — static per-chromosome slices via switch
+    def branch(c):
+        def fn(_):
+            s, w = col_start[c], widths[c]
+            target = frozen.inter_z[:, s:s + w][x_flat].astype(jnp.float32)
+            recon = linear(params["embed"]["recon"][c], tanh(emb_flat))
+            return jnp.mean((target - recon) ** 2, axis=-1)
+        return fn
+
+    per_row = jax.lax.switch(r, [branch(c) for c in range(dims.num_chroms)],
+                             None)
+    denom = jnp.sum(mask)
+    loss = jnp.where(denom > 0,
+                     jnp.sum(per_row * mask) / jnp.maximum(denom, 1), 0.0)
+    return loss * 100.0
+
+
+# ------------------------------------------------------------------ forward
+def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
+            x: jnp.ndarray, *, key: Optional[jax.Array] = None,
+            train: bool = False, return_recon: bool = False,
+            node_table: Optional[jnp.ndarray] = None):
+    """Score a padded hyperedge batch x (B, L) int32 -> raw logits (B, 1).
+
+    node_table: optionally pass a precomputed encode_node_table result (reused
+    across the per-size buckets of one train step)."""
+    if key is not None:
+        key, k_tab, k_rec, k_enc = jax.random.split(key, 4)
+    else:
+        k_tab = k_rec = k_enc = None
+
+    if node_table is None:
+        node_table = encode_node_table(params, frozen, dims, key=k_tab,
+                                       train=train)
+
+    b, L = x.shape
+    key_pad = x == 0
+    npm = (x != 0).astype(jnp.float32)[..., None]      # (B, L, 1)
+
+    emb = node_table[x]                                # (B, L, d) gather
+    attr = frozen.attr_table[x].astype(jnp.float32)
+    attr = linear(params["attr_nn"], attr)
+    h = tanh(feed_forward(params["next_w"], emb + attr))
+
+    dynamic, static = encoder_layer(
+        params["encoder"], h, key_pad, npm, dims.n_head, dims.dim, dims.dim,
+        diag_mask=dims.diag_mask, key=k_enc, train=train)
+
+    dynamic = layer_norm(params["ln_dynamic"], dynamic)
+    static = layer_norm(params["ln_static"], static)
+    out = (dynamic - static) ** 2 if dims.diag_mask else dynamic
+    out = pff(params["pff_classifier"], out)           # (B, L, 1)
+    out = jnp.sum(out * npm, axis=-2) / (jnp.sum(npm, axis=-2) + 1e-15)
+
+    if return_recon:
+        recon = recon_loss_fn(params, frozen, dims, x.reshape(-1),
+                              emb.reshape(b * L, -1), k_rec)
+        return out, recon
+    return out
+
+
+def node_embeddings(params: Dict, frozen: FrozenTables, dims: ModelDims,
+                    ) -> jnp.ndarray:
+    """All-node embedding export (ref save_embeddings, Code/main.py:462-479):
+    the raw MultipleEmbedding output per node id 1..N -> (N, dim)."""
+    table = encode_node_table(params, frozen, dims, train=False)
+    return table[1:]
+
+
+class HyperSAGNN(NamedTuple):
+    """Bundled model handle: params + frozen buffers + static dims."""
+    params: Dict
+    frozen: FrozenTables
+    dims: ModelDims
+
+    def __call__(self, x, **kw):
+        return forward(self.params, self.frozen, self.dims, x, **kw)

@@ -1,0 +1,207 @@
+"""Functional neural-net building blocks (pure pytrees + apply functions).
+
+These re-create the behaviour of the reference's ``Code/Modules.py`` layer zoo
+in idiomatic JAX: parameters are plain dicts, applies are pure functions, all
+activations are tanh (ref Code/Modules.py:9), LayerNorm eps matches torch
+(1e-5).  Weight layout is JAX-convention ``(in, out)`` (torch stores
+``(out, in)``; parity harnesses transpose).
+
+Init distributions follow torch defaults so training dynamics match:
+  * Linear / Conv1d(k=1): kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)),
+    bias U(±1/sqrt(fan_in))
+  * attention projections: Normal(0, sqrt(2/(d_model+d_k)))
+    (ref Code/Modules.py:485-490)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+# ------------------------------------------------------------------ linear
+def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
+                dtype=jnp.float32) -> Params:
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)}
+    if use_bias:
+        p["b"] = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def linear(p: Params, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def normal_init(key, in_dim: int, out_dim: int, std: float,
+                dtype=jnp.float32) -> jnp.ndarray:
+    return std * jax.random.normal(key, (in_dim, out_dim), dtype)
+
+
+# --------------------------------------------------------------- layernorm
+def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p: Params, x, eps: float = 1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+# ----------------------------------------------------------------- dropout
+def dropout(key: Optional[jax.Array], x, rate: float, train: bool):
+    """Inverted dropout (torch semantics).  No-op in eval / when key is None."""
+    if not train or key is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+# ------------------------------------------------------- feed-forward MLPs
+def feed_forward_init(key, dims: Sequence[int], use_bias: bool = True) -> Params:
+    """Plain linear MLP stack with tanh between layers
+    (ref FeedForward, Code/Modules.py:385-414)."""
+    keys = jax.random.split(key, len(dims) - 1)
+    return {"layers": [linear_init(k, dims[i], dims[i + 1], use_bias)
+                       for i, k in enumerate(keys)]}
+
+
+def feed_forward(p: Params, x, *, key=None, drop_rate: float = 0.0,
+                 train: bool = False):
+    layers = p["layers"]
+    for i, lp in enumerate(layers[:-1]):
+        x = tanh(linear(lp, x))
+        if drop_rate > 0.0:
+            key, kd = jax.random.split(key) if key is not None else (None, None)
+            x = dropout(kd, x, drop_rate, train)
+    return linear(layers[-1], x)
+
+
+def pff_init(key, dims: Sequence[int], use_bias: bool = True,
+             layer_norm_flag: bool = False) -> Params:
+    """Position-wise MLP (ref PositionwiseFeedForward, Code/Modules.py:327-376;
+    Conv1d with kernel 1 == a linear over the feature axis)."""
+    p = feed_forward_init(key, dims, use_bias)
+    p["dims"] = tuple(int(d) for d in dims)
+    if layer_norm_flag:
+        p["ln"] = layer_norm_init(dims[-1])
+    return p
+
+
+def pff(p: Params, x, *, residual: bool = False, key=None,
+        drop_rate: float = 0.0, train: bool = False):
+    """tanh-MLP with optional dropout between layers, then (iff
+    dims[0]==dims[-1]) residual add and LayerNorm — exactly the reference's
+    ordering (ref Code/Modules.py:353-376)."""
+    out = x
+    layers = p["layers"]
+    for lp in layers[:-1]:
+        out = tanh(linear(lp, out))
+        key, kd = jax.random.split(key) if key is not None else (None, None)
+        out = dropout(kd, out, drop_rate, train)
+    out = linear(layers[-1], out)
+    if p["dims"][0] == p["dims"][-1]:
+        if residual:
+            out = out + x
+        if "ln" in p:
+            out = layer_norm(p["ln"], out)
+    return out
+
+
+# ------------------------------------------------- static/dynamic attention
+def mha_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
+             input_dim: int) -> Params:
+    """Hyper-SAGNN multi-head attention (ref MultiHeadAttention,
+    Code/Modules.py:463-575).  The reference's ``fc2`` (static projection) and
+    the encoder's ``pff_n2`` are computed-then-discarded upstream
+    (ref Code/Modules.py:611-617 returns the *pre-attention* static), so they
+    receive no gradient and are omitted here entirely."""
+    ks = jax.random.split(key, 4)
+    std_qk = math.sqrt(2.0 / (d_model + d_k))
+    std_v = math.sqrt(2.0 / (d_model + d_v))
+    return {
+        "ln_q": layer_norm_init(input_dim),
+        "ln_k": layer_norm_init(input_dim),
+        "ln_v": layer_norm_init(input_dim),
+        "wq": normal_init(ks[0], input_dim, n_head * d_k, std_qk),
+        "wk": normal_init(ks[1], input_dim, n_head * d_k, std_qk),
+        "wv": normal_init(ks[2], input_dim, n_head * d_v, std_v),
+        "fc1": linear_init(ks[3], n_head * d_v, d_model),
+    }
+
+
+def mha_dynamic(p: Params, x, key_pad_mask, n_head: int, d_k: int, d_v: int,
+                *, diag_mask: bool = True, key=None, drop_rate: float = 0.0,
+                train: bool = False):
+    """Self-excluding (diag-masked) self-attention over one hyperedge.
+
+    Replicates the reference's masked-softmax semantics
+    (ref Code/Modules.py:424-460, memory_efficient=True): pad keys are filled
+    with a large negative before softmax, then diagonal entries filled with
+    -1e32 (the diag fill happens after, so wins on pad∩diag positions).
+    Returns the "dynamic" embedding fc1(attn @ v); the "static" embedding used
+    downstream is the raw input (see encoder_layer).
+    """
+    b, L, _ = x.shape
+    q = layer_norm(p["ln_q"], x) @ p["wq"]
+    k = layer_norm(p["ln_k"], x) @ p["wk"]
+    v = layer_norm(p["ln_v"], x) @ p["wv"]
+    q = q.reshape(b, L, n_head, d_k).transpose(0, 2, 1, 3)
+    k = k.reshape(b, L, n_head, d_k).transpose(0, 2, 1, 3)
+    v = v.reshape(b, L, n_head, d_v).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(d_k)
+    # key-pad fill (ref :452-453, -inf; -1e30 here for grad safety)
+    scores = jnp.where(key_pad_mask[:, None, None, :], -1e30, scores)
+    if diag_mask:
+        eye = jnp.eye(L, dtype=bool)
+        scores = jnp.where(eye[None, None], -1e32, scores)  # ref :443-445
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32)
+    out = out.transpose(0, 2, 1, 3).reshape(b, L, n_head * d_v)
+    out = linear(p["fc1"], out)
+    key, kd = jax.random.split(key) if key is not None else (None, None)
+    return dropout(kd, out, drop_rate, train)
+
+
+def encoder_layer_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
+                       bottle_neck: int) -> Params:
+    """ref EncoderLayer (Code/Modules.py:578-617), minus the dead pff_n2."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "mha": mha_init(k1, n_head, d_model, d_k, d_v, bottle_neck),
+        "pff_n1": pff_init(k2, [d_model, d_model, d_model],
+                           layer_norm_flag=True),
+    }
+
+
+def encoder_layer(p: Params, x, key_pad_mask, non_pad_mask, n_head: int,
+                  d_k: int, d_v: int, *, diag_mask: bool = True, key=None,
+                  train: bool = False):
+    """Returns (dynamic, static).  Parity quirk faithfully preserved: the
+    static branch is the *unmodified input* — the reference computes
+    fc2/pff_n2 but returns the pre-attention static (Code/Modules.py:611-617).
+    Dropouts: 0.3 after attention fc1, 0.4 inside pff_n1 (ref :226-227)."""
+    key, ka, kp = jax.random.split(key, 3) if key is not None else (None,) * 3
+    dyn = mha_dynamic(p["mha"], x, key_pad_mask, n_head, d_k, d_v,
+                      diag_mask=diag_mask, key=ka, drop_rate=0.3, train=train)
+    dyn = pff(p["pff_n1"], dyn * non_pad_mask, residual=True, key=kp,
+              drop_rate=0.4, train=train) * non_pad_mask
+    return dyn, x

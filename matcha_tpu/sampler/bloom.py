@@ -1,0 +1,128 @@
+"""Device-resident Bloom filter over hyperedges.
+
+Functional replacement for the reference's per-size ``pybloom_live.BloomFilter``
+list (ref: Code/utils.py:75-97, built at Code/main.py:664-667): membership
+filters for the negative sampler's rejection loop, one per hyperedge size,
+sized for ``capacity = 5*len(data)+1000`` at error rate 1e-3.
+
+Here the filter is a uint32 bitset in HBM.  Hashing is a murmur-finalized
+FNV-style accumulation over the sorted node ids, computed identically on host
+(numpy, for the build) and on device (jnp, for the batched query) — both paths
+share `_hash_rows`, written against the array-API-compatible subset of
+numpy/jnp.  Double hashing (h1 + i*h2 mod m) generates the per-hash indices, as
+in Kirsch & Mitzenmacher.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+_FNV_PRIME1 = np.uint32(16777619)
+_FNV_PRIME2 = np.uint32(2246822519)
+_SEED1 = np.uint32(2166136261)
+_SEED2 = np.uint32(0x9747B28C)
+_GOLDEN = np.uint32(2654435761)
+
+
+def _mix(h, xp):
+    """murmur3 finalizer (uint32)."""
+    h = h ^ (h >> xp.uint32(16))
+    h = h * xp.uint32(0x85EBCA6B)
+    h = h ^ (h >> xp.uint32(13))
+    h = h * xp.uint32(0xC2B2AE35)
+    h = h ^ (h >> xp.uint32(16))
+    return h
+
+
+def _hash_rows(rows, xp):
+    """(N, k) int rows -> (h1, h2) uint32 hash pair per row.
+
+    Identical bit-for-bit under numpy and jnp (uint32 wraparound).
+    """
+    rows = rows.astype(xp.uint32)
+    k = rows.shape[-1]
+    h1 = xp.full(rows.shape[:-1], _SEED1, dtype=xp.uint32)
+    h2 = xp.full(rows.shape[:-1], _SEED2, dtype=xp.uint32)
+    for j in range(k):
+        x = rows[..., j]
+        h1 = _mix(h1 ^ x, xp) * _FNV_PRIME1
+        h2 = _mix(h2 ^ (x * _GOLDEN), xp) * _FNV_PRIME2
+    # guarantee odd step for double hashing so all m residues are reachable
+    h2 = h2 | xp.uint32(1)
+    return h1, h2
+
+
+@dataclasses.dataclass
+class DeviceBloomFilter:
+    """A single-size Bloom filter: uint32 bitset + geometry (jit-static)."""
+    bits: jnp.ndarray          # (m_bits // 32,) uint32
+    m_bits: int                # static
+    n_hashes: int              # static
+
+    def contains(self, rows: jnp.ndarray) -> jnp.ndarray:
+        """Batched membership query: (N, k) int32 -> (N,) bool (device)."""
+        h1, h2 = _hash_rows(rows, jnp)
+        m = jnp.uint32(self.m_bits)
+        hit = jnp.ones(rows.shape[:-1], dtype=bool)
+        for i in range(self.n_hashes):
+            idx = (h1 + jnp.uint32(i) * h2) % m
+            word = self.bits[(idx >> jnp.uint32(5)).astype(jnp.int32)]
+            bit = (word >> (idx & jnp.uint32(31))) & jnp.uint32(1)
+            hit = hit & (bit == jnp.uint32(1))
+        return hit
+
+import jax.tree_util
+
+jax.tree_util.register_pytree_node(
+    DeviceBloomFilter,
+    lambda f: ((f.bits,), (f.m_bits, f.n_hashes)),
+    lambda aux, children: DeviceBloomFilter(children[0], aux[0], aux[1]))
+
+
+def _geometry(capacity: int, error_rate: float) -> tuple[int, int]:
+    m_bits = int(math.ceil(-capacity * math.log(error_rate) / (math.log(2) ** 2)))
+    m_bits = ((m_bits + 31) // 32) * 32
+    n_hashes = max(1, round(m_bits / capacity * math.log(2)))
+    return m_bits, n_hashes
+
+
+def build_bloom(rows: np.ndarray, capacity: int | None = None,
+                error_rate: float = 1e-3) -> DeviceBloomFilter:
+    """Host-side build from (N, k) sorted hyperedge rows.
+
+    Capacity default matches the reference: 5*N + 1000 (ref Code/utils.py:76-78).
+    """
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    n = rows.shape[0]
+    if capacity is None:
+        capacity = 5 * max(n, 1) + 1000
+    m_bits, n_hashes = _geometry(capacity, error_rate)
+
+    bits = np.zeros(m_bits // 32, dtype=np.uint32)
+    if n:
+        with np.errstate(over="ignore"):
+            h1, h2 = _hash_rows(rows, np)
+            for i in range(n_hashes):
+                idx = (h1 + np.uint32(i) * h2) % np.uint32(m_bits)
+                np.bitwise_or.at(bits, idx >> np.uint32(5),
+                                 np.uint32(1) << (idx & np.uint32(31)))
+    return DeviceBloomFilter(bits=jnp.asarray(bits), m_bits=m_bits,
+                             n_hashes=n_hashes)
+
+
+def build_bloom_dict(unlabeled: Dict[int, np.ndarray],
+                     error_rate: float = 1e-3) -> Dict[int, DeviceBloomFilter]:
+    """Per-size filters from the unlabeled k-mer sets (ref Code/main.py:662-667).
+
+    The reference sizes each filter by the TOTAL unlabeled count across sizes
+    (`build_hash` gets the concatenated array); we match that capacity rule.
+    """
+    total = sum(len(v) for v in unlabeled.values())
+    capacity = 5 * max(total, 1) + 1000
+    return {k: build_bloom(v, capacity=capacity, error_rate=error_rate)
+            for k, v in unlabeled.items()}

@@ -1,0 +1,146 @@
+"""Batched on-device negative hyperedge sampler.
+
+Device-resident, fixed-shape re-design of the reference's per-sample Python
+rejection loop (ref: Code/main.py:361-459):
+
+  * per positive, ``neg_num`` negatives
+  * number of corrupted positions ~ Binomial(k, 0.5) truncated to nonzero
+    (ref :371-374); positions chosen once per negative, without replacement
+    (ref :389) and held fixed across retries
+  * each retry resamples the chosen positions uniformly within the **same
+    chromosome's node range** as the original member (ref :403-407)
+  * candidate accepted iff, after sorting, all adjacent gaps exceed
+    ``min_distance`` (which for min_distance >= 0 also enforces distinctness,
+    ref :410-421) and the candidate is NOT in the membership Bloom filter
+    for its size (ref :392)
+  * the reference's loop is unbounded; here a bounded ``lax.while_loop``
+    (``max_trials``) with a structurally-valid fallback gives fixed worst-case
+    latency — statistically indistinguishable at real rejection rates
+
+With no filter (stage 1 of training, ref Code/main.py:589), negatives are
+copies of the positives, exactly as the reference's empty-set dicts produce.
+All shapes are static: (B*neg_num, k) per size bucket.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matcha_tpu.sampler.bloom import DeviceBloomFilter
+
+
+class ChromTable(NamedTuple):
+    """Device metadata for chromosome-constrained resampling.
+
+    node2chrom: (N+1,) int32 — chromosome index per node id (0 row unused)
+    chrom_start/chrom_end: (C,) int32 — [start, end) node-id range per chrom
+    (semantics of chrom_range, ref Code/process.py:25-33)
+    """
+    node2chrom: jnp.ndarray
+    chrom_start: jnp.ndarray
+    chrom_end: jnp.ndarray
+
+    @classmethod
+    def from_genome(cls, genome) -> "ChromTable":
+        return cls(node2chrom=jnp.asarray(genome.node2chrom, dtype=jnp.int32),
+                   chrom_start=jnp.asarray(genome.chrom_range[:, 0], jnp.int32),
+                   chrom_end=jnp.asarray(genome.chrom_range[:, 1], jnp.int32))
+
+
+@lru_cache(maxsize=None)
+def _truncated_binomial_cdf(k: int) -> np.ndarray:
+    """CDF of Binomial(k, 1/2) conditioned on > 0, over support 1..k."""
+    pmf = np.array([math.comb(k, c) for c in range(k + 1)], dtype=np.float64)
+    pmf = pmf / pmf.sum()
+    pmf = pmf[1:] / (1.0 - pmf[0])
+    return np.cumsum(pmf)
+
+
+def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
+    """(n, k) bool mask with row-wise count ~ truncated Binomial(k, 1/2),
+    positions uniform without replacement."""
+    kc, kp = jax.random.split(key)
+    cdf = jnp.asarray(_truncated_binomial_cdf(k), dtype=jnp.float32)
+    u = jax.random.uniform(kc, (n,))
+    change_num = jnp.searchsorted(cdf, u, side="left") + 1      # in 1..k
+    # random ranks: position j is corrupted iff its rank < change_num
+    scores = jax.random.uniform(kp, (n, k))
+    ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+    return ranks < change_num[:, None]
+
+
+def sample_negatives(key: jax.Array, positives: jnp.ndarray,
+                     table: ChromTable, min_distance: int,
+                     bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
+                     max_trials: int = 64) -> jnp.ndarray:
+    """Generate (B*neg_num, k) negatives for a (B, k) positive bucket."""
+    b, k = positives.shape
+    n = b * neg_num
+    orig = jnp.tile(positives, (neg_num, 1)).astype(jnp.int32)
+
+    if bloom is None:
+        # stage-1 semantics: empty rejection dicts -> negatives == positives
+        return orig
+
+    key, km = jax.random.split(key)
+    change = _sample_change_mask(km, n, k)
+
+    chrom = table.node2chrom[orig]                   # (n, k)
+    lo = table.chrom_start[chrom].astype(jnp.float32)
+    hi = table.chrom_end[chrom].astype(jnp.float32)
+
+    def propose(kr):
+        u = jax.random.uniform(kr, (n, k))
+        cand = (lo + jnp.floor((hi - lo) * u)).astype(jnp.int32)
+        temp = jnp.where(change, cand, orig)
+        temp = jnp.sort(temp, axis=-1)
+        gaps = jnp.diff(temp, axis=-1)
+        ok = jnp.all(gaps > min_distance, axis=-1)   # distinct + gap (ref :410-421)
+        return temp, ok
+
+    def cond(state):
+        key, result, fallback, has_fallback, active, t = state
+        return jnp.logical_and(t < max_trials, jnp.any(active))
+
+    def body(state):
+        key, result, fallback, has_fallback, active, t = state
+        key, kr = jax.random.split(key)
+        temp, ok = propose(kr)
+        miss = ~bloom.contains(temp)
+        accept = active & ok & miss
+        result = jnp.where(accept[:, None], temp, result)
+        # remember a structurally-valid candidate for bounded-loop fallback
+        take_fb = active & ok & ~has_fallback
+        fallback = jnp.where(take_fb[:, None], temp, fallback)
+        has_fallback = has_fallback | take_fb
+        active = active & ~accept
+        return key, result, fallback, has_fallback, active, t + 1
+
+    init = (key, orig, orig, jnp.zeros(n, bool), jnp.ones(n, bool),
+            jnp.asarray(0, jnp.int32))
+    _, result, fallback, has_fallback, active, _ = jax.lax.while_loop(
+        cond, body, init)
+    # rows that never passed the Bloom test: use the last structurally-valid
+    # candidate (possible false-positive membership; vanishing probability)
+    result = jnp.where((active & has_fallback)[:, None], fallback, result)
+    return result
+
+
+def assemble_batch(positives: jnp.ndarray, weights: jnp.ndarray,
+                   negatives: jnp.ndarray,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Concatenate pos+neg into (x, y, w) with reference label/weight rules
+    (ref Code/main.py:430-448): y=1/0, positive weight from the quantile
+    pipeline, negative weight 1."""
+    x = jnp.concatenate([positives, negatives], axis=0)
+    y = jnp.concatenate([jnp.ones(positives.shape[0]),
+                         jnp.zeros(negatives.shape[0])])[:, None]
+    w = jnp.concatenate([weights.reshape(-1),
+                         jnp.ones(negatives.shape[0])])[:, None]
+    return x, y.astype(jnp.float32), w.astype(jnp.float32)

@@ -1,0 +1,29 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (must be set before jax import).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+from matcha_tpu.genome import GenomeBins
+
+
+@pytest.fixture(scope="session")
+def tiny_genome():
+    """Three small chromosomes at 1 Mb resolution."""
+    return GenomeBins(["chr1", "chr2", "chr3"],
+                      [49_500_000, 30_200_000, 19_999_999], 1_000_000)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

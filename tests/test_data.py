@@ -1,0 +1,169 @@
+"""Cluster parsing, mcool ingest, and k-mer generation parity tests."""
+
+import itertools
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from matcha_tpu.data.clusters import (clusters_to_list, load_edge_list,
+                                      parse_clusters, save_edge_list)
+from matcha_tpu.data.kmers import (_count_kmers_numpy, count_kmers,
+                                   generate_kmers)
+from matcha_tpu.data.mcool import contacts_from_arrays
+
+
+# ------------------------------------------------------------------ clusters
+def make_cluster_file(tmp_path, genome, rng, n_lines=200):
+    """Synthesize a .clusters file + the expected parsed result."""
+    res = genome.resolution
+    lines, expected = [], []
+    for i in range(n_lines):
+        m = rng.integers(1, 12)
+        members, raw = set(), []
+        for _ in range(m):
+            c = int(rng.integers(0, genome.num_chroms + 1))  # sometimes bad chrom
+            if c == genome.num_chroms:
+                raw.append(f"chrUn:{int(rng.integers(0, 10 ** 6))}")
+                continue
+            coord = int(rng.integers(0, genome.chrom_sizes[c]))
+            raw.append(f"{genome.chrom_names[c]}:{coord}")
+            members.add(int(genome.chrom_range[c, 0] + coord // res))
+        lines.append(f"cluster{i}\t" + "\t".join(raw))
+        if len(raw) >= 2 and 2 <= len(members) <= 6:
+            expected.append(sorted(members))
+    path = tmp_path / "test.clusters"
+    path.write_text("\n".join(lines) + "\n")
+    return str(path), expected
+
+
+def test_parse_clusters(tmp_path, tiny_genome, rng):
+    path, expected = make_cluster_file(tmp_path, tiny_genome, rng)
+    flat, offsets = parse_clusters(path, tiny_genome, max_cluster_size=6)
+    got = clusters_to_list(flat, offsets)
+    assert got == expected
+    # invariant: sorted distinct node ids, all >= 1
+    assert (flat >= 1).all()
+    for e in got:
+        assert e == sorted(set(e))
+
+
+def test_edge_list_roundtrip(tmp_path, tiny_genome, rng):
+    path, _ = make_cluster_file(tmp_path, tiny_genome, rng, n_lines=50)
+    flat, offsets = parse_clusters(path, tiny_genome, max_cluster_size=6)
+    save_edge_list(str(tmp_path), flat, offsets)
+    f2, o2 = load_edge_list(str(tmp_path))
+    assert (f2 == flat).all() and (o2 == offsets).all()
+    # reference-layout ragged artifact loads as list of lists
+    ragged = np.load(tmp_path / "edge_list.npy", allow_pickle=True)
+    assert list(ragged[0]) == clusters_to_list(flat, offsets)[0]
+
+
+def test_raw_size_prefilter(tmp_path, tiny_genome):
+    # > max_cluster_size * 50 raw members -> dropped (ref Code/process.py:54)
+    many = "\t".join(f"chr1:{i * 1000}" for i in range(2 * 50 + 1))
+    ok = "chr1:0\tchr2:0"
+    p = tmp_path / "c.clusters"
+    p.write_text(f"a\t{many}\nb\t{ok}\n")
+    flat, offsets = parse_clusters(str(p), tiny_genome, max_cluster_size=2)
+    assert len(offsets) - 1 == 1
+
+
+# --------------------------------------------------------------------- mcool
+def test_contacts_from_arrays(tiny_genome, rng):
+    n_pix = 500
+    b1 = rng.integers(1, tiny_genome.node_num, n_pix)
+    b2 = rng.integers(1, tiny_genome.node_num, n_pix)
+    w = rng.random(n_pix)
+    w[::17] = np.nan  # NaN rows skipped (ref Code/process.py:162)
+    intra, inter = contacts_from_arrays(tiny_genome, b1, b2, w)
+
+    n = tiny_genome.node_num - 1
+    ref_intra = np.zeros((n, n))
+    ref_inter = np.zeros((n, n))
+    for i in range(n_pix):
+        if np.isnan(w[i]):
+            continue
+        a, b = b1[i] - 1, b2[i] - 1
+        if tiny_genome.node2chrom[b1[i]] == tiny_genome.node2chrom[b2[i]]:
+            ref_intra[a, b] += w[i]
+            ref_intra[b, a] += w[i]
+        else:
+            ref_inter[a, b] += w[i]
+            ref_inter[b, a] += w[i]
+    np.testing.assert_allclose(intra, ref_intra, rtol=1e-6)
+    np.testing.assert_allclose(inter, ref_inter, rtol=1e-6)
+
+
+# --------------------------------------------------------------------- kmers
+def reference_kmer_counts(clusters, k, max_size, min_dis):
+    """Oracle: the reference's per-anchor combinations rule
+    (ref Code/generate_kmers.py:12-37)."""
+    counter = Counter()
+    for cl in clusters:
+        if not (k <= len(cl) <= max_size):
+            continue
+        arr = np.asarray(cl)
+        for i in cl:  # anchor = each member; combos from members > i + min_dis
+            rest = arr[arr > i + min_dis]
+            for comb in itertools.combinations(rest, k - 1):
+                if k > 2:
+                    gaps = np.diff(comb)
+                    if gaps.min() <= min_dis:
+                        continue
+                counter[(i,) + comb] += 1
+    return counter
+
+
+@pytest.mark.parametrize("k,min_dis", [(2, 0), (3, 0), (2, 2), (4, 1), (5, 0)])
+def test_kmer_counts_match_reference(tiny_genome, rng, k, min_dis):
+    clusters = []
+    for _ in range(120):
+        m = int(rng.integers(k, 10))
+        nodes = sorted(set(
+            int(rng.integers(1, tiny_genome.node_num)) for _ in range(m)))
+        if len(nodes) >= 2:
+            clusters.append(nodes)
+    flat = np.concatenate([np.asarray(c) for c in clusters]).astype(np.int32)
+    offsets = np.zeros(len(clusters) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clusters], out=offsets[1:])
+
+    oracle = reference_kmer_counts(clusters, k, max_size=10, min_dis=min_dis)
+    kmers, freqs = _count_kmers_numpy(flat, offsets, k, 10, min_dis,
+                                      chunk_kmers=1000)
+    got = {tuple(r): int(f) for r, f in zip(kmers, freqs)}
+    assert got == {tuple(map(int, key)): v for key, v in oracle.items()}
+
+
+def test_native_kernel_matches_numpy(tiny_genome, rng):
+    from matcha_tpu.native import kmer_native
+    if not kmer_native.available():
+        pytest.skip("native kernel unavailable")
+    clusters = []
+    for _ in range(300):
+        m = int(rng.integers(2, 15))
+        nodes = sorted(set(
+            int(rng.integers(1, tiny_genome.node_num)) for _ in range(m)))
+        if len(nodes) >= 2:
+            clusters.append(nodes)
+    flat = np.concatenate([np.asarray(c) for c in clusters]).astype(np.int32)
+    offsets = np.zeros(len(clusters) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clusters], out=offsets[1:])
+    for k, min_dis in [(2, 0), (3, 1), (4, 0)]:
+        nk, nf = kmer_native.count_kmers(flat, offsets, k, 15, min_dis)
+        pk, pf = _count_kmers_numpy(flat, offsets, k, 15, min_dis, 10 ** 6)
+        assert (nk == pk).all() and (nf == pf).all()
+
+
+def test_generate_kmers_freq_cutoff(tmp_path):
+    # two clusters sharing the pair (1, 5): freq 2 survives cutoff=2
+    clusters = [[1, 5, 9], [1, 5], [2, 7]]
+    flat = np.concatenate(clusters).astype(np.int32)
+    offsets = np.array([0, 3, 5, 7], dtype=np.int64)
+    out = generate_kmers(flat, offsets, [2], max_cluster_size=5,
+                         min_distance=0, min_freq_cutoff=2,
+                         temp_dir=str(tmp_path), verbose=False)
+    kmers, freqs = out[2]
+    assert kmers.tolist() == [[1, 5]]
+    assert freqs.tolist() == [2]
+    assert (tmp_path / "all_2_counter.npy").exists()
