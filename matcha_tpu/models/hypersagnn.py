@@ -176,6 +176,12 @@ def recon_loss_fn(params: Dict, frozen: FrozenTables, dims: ModelDims,
     nodes NOT on r, decode FF_r(tanh(embed)) and MSE against the z-scored
     inter-contact row restricted to r's columns; ×100."""
     r = jax.random.randint(key, (), 0, dims.num_chroms)
+    return recon_loss_with_chrom(params, frozen, dims, x_flat, emb_flat, r)
+
+
+def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
+                          x_flat: jnp.ndarray, emb_flat: jnp.ndarray,
+                          r) -> jnp.ndarray:
     chrom = frozen.chrom_of_node[x_flat]
     mask = (chrom != r) & (x_flat != 0)
 
@@ -220,7 +226,6 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
                                        train=train)
 
     b, L = x.shape
-    key_pad = x == 0
     npm = (x != 0).astype(jnp.float32)[..., None]      # (B, L, 1)
 
     emb = node_table[x]                                # (B, L, d) gather
@@ -229,7 +234,7 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     h = tanh(feed_forward(params["next_w"], emb + attr))
 
     dynamic, static = encoder_layer(
-        params["encoder"], h, key_pad, npm, dims.n_head, dims.dim, dims.dim,
+        params["encoder"], h, npm, dims.n_head, dims.dim, dims.dim,
         diag_mask=dims.diag_mask, key=k_enc, train=train)
 
     dynamic = layer_norm(params["ln_dynamic"], dynamic)

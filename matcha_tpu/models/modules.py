@@ -144,15 +144,23 @@ def mha_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
     }
 
 
-def mha_dynamic(p: Params, x, key_pad_mask, n_head: int, d_k: int, d_v: int,
+def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
                 *, diag_mask: bool = True, key=None, drop_rate: float = 0.0,
                 train: bool = False):
     """Self-excluding (diag-masked) self-attention over one hyperedge.
 
-    Replicates the reference's masked-softmax semantics
-    (ref Code/Modules.py:424-460, memory_efficient=True): pad keys are filled
-    with a large negative before softmax, then diagonal entries filled with
-    -1e32 (the diag fill happens after, so wins on pad∩diag positions).
+    Replicates the reference's masked-softmax (ref Code/Modules.py:424-460,
+    memory_efficient=True): diagonal entries filled with -1e32 before softmax.
+
+    PARITY QUIRK (verified against the reference): the key-pad mask is NEVER
+    applied — EncoderLayer passes ``slf_attn_mask`` into MultiHeadAttention's
+    ``diag_mask`` positional parameter (ref Code/Modules.py:611-613), which is
+    immediately overwritten by the cached ones-minus-eye tensor, and ``mask``
+    stays None so the -inf pad fill (ref :452-453) is dead code.  Pad
+    positions therefore participate as attention keys/values.  We reproduce
+    that exactly; note our per-k bucketed batching never pads in training, so
+    this only matters for padded mixed-size inference inputs.
+
     Returns the "dynamic" embedding fc1(attn @ v); the "static" embedding used
     downstream is the raw input (see encoder_layer).
     """
@@ -167,8 +175,6 @@ def mha_dynamic(p: Params, x, key_pad_mask, n_head: int, d_k: int, d_v: int,
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(d_k)
-    # key-pad fill (ref :452-453, -inf; -1e30 here for grad safety)
-    scores = jnp.where(key_pad_mask[:, None, None, :], -1e30, scores)
     if diag_mask:
         eye = jnp.eye(L, dtype=bool)
         scores = jnp.where(eye[None, None], -1e32, scores)  # ref :443-445
@@ -192,7 +198,7 @@ def encoder_layer_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
     }
 
 
-def encoder_layer(p: Params, x, key_pad_mask, non_pad_mask, n_head: int,
+def encoder_layer(p: Params, x, non_pad_mask, n_head: int,
                   d_k: int, d_v: int, *, diag_mask: bool = True, key=None,
                   train: bool = False):
     """Returns (dynamic, static).  Parity quirk faithfully preserved: the
@@ -200,7 +206,7 @@ def encoder_layer(p: Params, x, key_pad_mask, non_pad_mask, n_head: int,
     fc2/pff_n2 but returns the pre-attention static (Code/Modules.py:611-617).
     Dropouts: 0.3 after attention fc1, 0.4 inside pff_n1 (ref :226-227)."""
     key, ka, kp = jax.random.split(key, 3) if key is not None else (None,) * 3
-    dyn = mha_dynamic(p["mha"], x, key_pad_mask, n_head, d_k, d_v,
+    dyn = mha_dynamic(p["mha"], x, n_head, d_k, d_v,
                       diag_mask=diag_mask, key=ka, drop_rate=0.3, train=train)
     dyn = pff(p["pff_n1"], dyn * non_pad_mask, residual=True, key=kp,
               drop_rate=0.4, train=train) * non_pad_mask

@@ -11,8 +11,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
 import numpy as np
 import pytest
+
+# persistent compile cache: re-runs of the suite skip XLA compilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# this JAX build lowers f32 matmuls to reduced precision by default; the
+# golden-parity tests compare against torch true-f32
+jax.config.update("jax_default_matmul_precision", "highest")
 
 from matcha_tpu.genome import GenomeBins
 
