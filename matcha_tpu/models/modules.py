@@ -96,7 +96,6 @@ def pff_init(key, dims: Sequence[int], use_bias: bool = True,
     """Position-wise MLP (ref PositionwiseFeedForward, Code/Modules.py:327-376;
     Conv1d with kernel 1 == a linear over the feature axis)."""
     p = feed_forward_init(key, dims, use_bias)
-    p["dims"] = tuple(int(d) for d in dims)
     if layer_norm_flag:
         p["ln"] = layer_norm_init(dims[-1])
     return p
@@ -114,7 +113,8 @@ def pff(p: Params, x, *, residual: bool = False, key=None,
         key, kd = jax.random.split(key) if key is not None else (None, None)
         out = dropout(kd, out, drop_rate, train)
     out = linear(layers[-1], out)
-    if p["dims"][0] == p["dims"][-1]:
+    # residual/LN only when in_dim == out_dim (ref Code/Modules.py:368-374)
+    if layers[0]["w"].shape[0] == layers[-1]["w"].shape[1]:
         if residual:
             out = out + x
         if "ln" in p:

@@ -1,0 +1,145 @@
+"""End-to-end pipeline entry points.
+
+Library equivalents of the reference's five CLI scripts (ref Readme.md:45-64):
+
+  run_process         <- python process.py        (ingest)
+  run_generate_kmers  <- python generate_kmers.py (hyperedge generation)
+  run_train           <- python main.py           (two-stage training)
+  (apps/ holds denoise_contact / predict_multiway / plot_embedding)
+
+Each stage reads/writes the same ``temp_dir`` artifact layout as the
+reference, so the stages interoperate with reference-produced artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from matcha_tpu.config import Config
+from matcha_tpu.data.clusters import load_edge_list, parse_clusters, save_edge_list
+from matcha_tpu.data.kmers import generate_kmers
+from matcha_tpu.data.mcool import load_contacts, parse_mcool_contacts, save_contacts
+from matcha_tpu.data.store import HyperedgeStore
+from matcha_tpu.genome import GenomeBins
+from matcha_tpu.models.hypersagnn import (ModelDims, build_frozen_tables,
+                                          init_model)
+from matcha_tpu.sampler.bloom import build_bloom_dict
+from matcha_tpu.sampler.negative import ChromTable
+from matcha_tpu.train.runtime import (Trainer, TrainSettings,
+                                      save_model_bundle)
+
+
+def run_process(config: Config) -> GenomeBins:
+    """Ingest: genome binning + cluster parse + mcool contacts -> temp_dir."""
+    genome = GenomeBins.from_chrom_sizes_file(
+        config.chrom_size, config.chrom_list, config.resolution)
+    genome.save(config.temp_dir)
+    flat, offsets = parse_clusters(config.cluster_path, genome,
+                                   config.max_cluster_size)
+    save_edge_list(config.temp_dir, flat, offsets)
+    intra, inter = parse_mcool_contacts(config.mcool_path, genome)
+    save_contacts(config.temp_dir, intra, inter)
+    return genome
+
+
+def run_generate_kmers(config: Config) -> Dict:
+    flat, offsets = load_edge_list(config.temp_dir)
+    return generate_kmers(
+        flat, offsets, config.kmer_size,
+        max_cluster_size=config.max_cluster_size,
+        min_distance=config.min_distance,
+        min_freq_cutoff=config.min_freq_cutoff, temp_dir=config.temp_dir)
+
+
+def run_train(config: Config, *, log=print,
+              stage1_epochs: Optional[int] = None,
+              stage2_epochs: Optional[int] = None,
+              embeddings_path: Optional[str] = None):
+    """Two-stage training (ref Code/main.py module body :516-685)."""
+    temp_dir = config.temp_dir
+    genome = GenomeBins.load(temp_dir)
+    intra, inter = load_contacts(temp_dir)
+
+    store = HyperedgeStore.from_temp_dir(
+        temp_dir, config.kmer_size,
+        quantile_cutoff_for_positive=config.quantile_cutoff_for_positive,
+        quantile_cutoff_for_unlabel=config.quantile_cutoff_for_unlabel,
+        neg_num=config.neg_num, seed=config.seed)
+    log(f"train sizes: {store.train_sizes()}")
+
+    dims = ModelDims(dim=config.embed_dim, n_head=config.n_head,
+                     num_chroms=genome.num_chroms,
+                     num_nodes=genome.num_nodes)
+    chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
+    params = init_model(jax.random.PRNGKey(config.seed), dims, chrom_sizes)
+    frozen = build_frozen_tables(genome, intra, inter)
+    chrom_table = ChromTable.from_genome(genome)
+    ckpt = os.path.join(temp_dir, "model.chkpt")
+
+    # ---- stage 1: reconstruction only (ref :637-643)
+    s1 = TrainSettings(alpha=config.stage1_alpha, beta=config.stage1_beta,
+                       neg_num=config.neg_num,
+                       min_distance=config.min_distance,
+                       max_trials=config.max_neg_trials,
+                       learning_rate=config.learning_rate,
+                       weight_decay=config.weight_decay)
+    trainer = Trainer(params, frozen, dims, chrom_table, s1, blooms=None,
+                      seed=config.seed)
+    trainer.fit(store.train, store.test,
+                epochs=stage1_epochs if stage1_epochs is not None
+                else config.stage1_epochs,
+                batch_size=config.batch_size,
+                num_batch_per_iter=config.num_batch_per_iter,
+                checkpoint_path=ckpt, log=log, seed=config.seed)
+
+    # ---- between stages: Bloom filters from the unlabeled set (ref :646-667)
+    blooms = build_bloom_dict(store.unlabeled,
+                              error_rate=config.bloom_error_rate)
+    log("built Bloom filters: "
+        + str({k: f.m_bits for k, f in blooms.items()}))
+
+    # ---- stage 2: classification (fresh AdamW, ref :671-679)
+    s2 = s1._replace(alpha=config.stage2_alpha, beta=config.stage2_beta)
+    trainer2 = Trainer(trainer.state.params, frozen, dims, chrom_table, s2,
+                       blooms=blooms, seed=config.seed + 1)
+    history = trainer2.fit(
+        store.train, store.test,
+        epochs=stage2_epochs if stage2_epochs is not None
+        else config.stage2_epochs,
+        batch_size=config.batch_size,
+        num_batch_per_iter=config.num_batch_per_iter,
+        checkpoint_path=ckpt, log=log, seed=config.seed + 1)
+
+    # ---- export artifacts (ref :681-685)
+    if embeddings_path is None:
+        embeddings_path = os.path.join(os.path.dirname(
+            os.path.abspath(temp_dir)), "embeddings.npy")
+    trainer2.export_embeddings(embeddings_path)
+    save_model_bundle(os.path.join(temp_dir, "model2load"),
+                      trainer2.state.params, dims, genome, intra, inter)
+    return trainer2, history, store
+
+
+def main(argv=None):
+    import argparse
+    from matcha_tpu.config import load_config
+    p = argparse.ArgumentParser(prog="matcha_tpu",
+                                description="TPU-native MATCHA pipeline")
+    p.add_argument("stage", choices=["process", "kmers", "train", "all"])
+    p.add_argument("-c", "--config", default=None, help="config.JSON path")
+    args = p.parse_args(argv)
+    config = load_config(args.config)
+    if args.stage in ("process", "all"):
+        run_process(config)
+    if args.stage in ("kmers", "all"):
+        run_generate_kmers(config)
+    if args.stage in ("train", "all"):
+        run_train(config)
+
+
+if __name__ == "__main__":
+    main()

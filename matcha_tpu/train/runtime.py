@@ -1,0 +1,287 @@
+"""Two-stage training runtime.
+
+Re-creates the reference's epoch machinery (ref: Code/main.py:119-342,637-679)
+as jitted, scan-based device programs:
+
+  * one train step = negative sampling + forward + weighted BCE (×alpha) +
+    inter-chrom recon (×beta) + AdamW update, fused over all per-k buckets,
+    sharing one node-table encode (the reference re-encodes per batch)
+  * one epoch = a single ``lax.scan`` over stacked batches — one XLA program,
+    no per-batch host round-trips (the reference's dominant stall was CPU
+    negative sampling + per-batch device transfer, SURVEY §3.3)
+  * stage 1: alpha=0, beta=1, no rejection filters (negatives are positive
+    copies, harmless since alpha=0 — ref Code/main.py:589,637-643)
+  * stage 2: Bloom filters from the unlabeled quantile set, fresh AdamW,
+    alpha=1, beta=0.001, best-val-AUPRC checkpointing keyed on the LARGEST
+    size's AUPRC (ref quirk, Code/main.py:313-314)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from functools import partial
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from matcha_tpu.data.batcher import BucketedBatcher
+from matcha_tpu.models.hypersagnn import (FrozenTables, ModelDims,
+                                          encode_node_table, forward,
+                                          node_embeddings)
+from matcha_tpu.sampler.bloom import DeviceBloomFilter, build_bloom_dict
+from matcha_tpu.sampler.negative import (ChromTable, assemble_batch,
+                                         sample_negatives)
+from matcha_tpu.train.metrics import format_metrics, size_stratified_metrics
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    key: jax.Array
+
+
+class TrainSettings(NamedTuple):
+    """Static knobs of a training stage."""
+    alpha: float
+    beta: float
+    neg_num: int = 3
+    min_distance: int = 0
+    max_trials: int = 64
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
+
+
+def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
+    return optax.adamw(s.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=s.weight_decay)
+
+
+def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
+               table: ChromTable, blooms, settings: TrainSettings,
+               batch, key, node_table, train: bool):
+    """Loss + per-bucket predictions for one step's dict of per-k buckets."""
+    total_bce = 0.0
+    total_recon = 0.0
+    preds, ys, sizes = [], [], []
+    for k in sorted(batch.keys()):
+        pos, w = batch[k]
+        key, k_neg, k_fwd = jax.random.split(key, 3)
+        neg = sample_negatives(k_neg, pos, table, settings.min_distance,
+                               None if blooms is None else blooms[k],
+                               neg_num=settings.neg_num,
+                               max_trials=settings.max_trials)
+        x, y, ww = assemble_batch(pos, w, neg)
+        logits, recon = forward(params, frozen, dims, x, key=k_fwd,
+                                train=train, return_recon=True,
+                                node_table=node_table)
+        bce = jnp.mean(ww * optax.sigmoid_binary_cross_entropy(logits, y))
+        total_bce = total_bce + bce
+        total_recon = total_recon + recon
+        preds.append(jax.nn.sigmoid(logits).reshape(-1))
+        ys.append(y.reshape(-1))
+        sizes.append(jnp.full(y.shape[0], k, dtype=jnp.int32))
+    n_buckets = len(batch)
+    total_bce = total_bce / n_buckets
+    total_recon = total_recon / n_buckets
+    loss = settings.alpha * total_bce + settings.beta * total_recon
+    aux = {"bce": total_bce, "recon": total_recon,
+           "pred": jnp.concatenate(preds), "y": jnp.concatenate(ys),
+           "size": jnp.concatenate(sizes)}
+    return loss, aux
+
+
+class Trainer:
+    """Drives the two-stage schedule over a HyperedgeStore."""
+
+    def __init__(self, params: Dict, frozen: FrozenTables, dims: ModelDims,
+                 chrom_table: ChromTable, settings: TrainSettings,
+                 blooms: Optional[Dict[int, DeviceBloomFilter]] = None,
+                 seed: int = 0):
+        self.frozen = frozen
+        self.dims = dims
+        self.chrom_table = chrom_table
+        self.settings = settings
+        self.blooms = blooms
+        optimizer = make_optimizer(settings)
+        self.optimizer = optimizer
+        self.state = TrainState(params=params,
+                                opt_state=optimizer.init(params),
+                                key=jax.random.PRNGKey(seed))
+        frozen_c, dims_c, table_c, blooms_c, settings_c = (
+            frozen, dims, chrom_table, blooms, settings)
+
+        def train_step(state: TrainState, batch):
+            key, k_tab, k_loss = jax.random.split(state.key, 3)
+
+            def loss_fn(params):
+                node_table = encode_node_table(params, frozen_c, dims_c,
+                                               key=k_tab, train=True)
+                return batch_loss(params, frozen_c, dims_c, table_c, blooms_c,
+                                  settings_c, batch, k_loss, node_table, True)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, key), aux
+
+        def eval_step(state: TrainState, batch):
+            key, k_loss = jax.random.split(state.key)
+            node_table = encode_node_table(state.params, frozen_c, dims_c,
+                                           train=False)
+            _, aux = batch_loss(state.params, frozen_c, dims_c, table_c,
+                                blooms_c, settings_c, batch, k_loss,
+                                node_table, False)
+            return TrainState(state.params, state.opt_state, key), aux
+
+        # one epoch = one scanned XLA program over stacked batches
+        @jax.jit
+        def train_epoch_fn(state, stacked):
+            return jax.lax.scan(train_step, state, stacked)
+
+        @jax.jit
+        def eval_epoch_fn(state, stacked):
+            return jax.lax.scan(eval_step, state, stacked)
+
+        self._train_epoch_fn = train_epoch_fn
+        self._eval_epoch_fn = eval_epoch_fn
+
+    # ------------------------------------------------------------- epochs
+    def train_epoch(self, batcher: BucketedBatcher):
+        stacked = {k: (jnp.asarray(e), jnp.asarray(w))
+                   for k, (e, w) in batcher.next_epoch().items()}
+        t0 = time.time()
+        self.state, aux = self._train_epoch_fn(self.state, stacked)
+        aux = jax.device_get(aux)
+        elapsed = time.time() - t0
+        metrics = size_stratified_metrics(aux["y"].reshape(-1),
+                                          aux["pred"].reshape(-1),
+                                          aux["size"].reshape(-1))
+        n = aux["pred"].size
+        return {"bce": float(aux["bce"].mean()),
+                "recon": float(aux["recon"].mean()),
+                "metrics": metrics, "elapsed": elapsed,
+                "hyperedges_per_sec": n / elapsed}
+
+    def eval_epoch(self, test_buckets, batch_size: int = 96,
+                   max_samples: int = 10_000, seed: int = 0):
+        """Mirror of the reference eval (ref Code/main.py:200-258): subsample,
+        generate negatives with the SAME filters, score."""
+        rng = np.random.default_rng(seed)
+        per_k = max(1, max_samples // max(len(test_buckets), 1))
+        plan = {}
+        n_batches = None
+        for k, (e, w) in sorted(test_buckets.items()):
+            take = min(len(e), per_k)
+            bs = min(batch_size, take)        # small buckets shrink the batch
+            nb = take // bs
+            n_batches = nb if n_batches is None else min(n_batches, nb)
+            plan[k] = bs
+        stacked = {}
+        for k, (e, w) in sorted(test_buckets.items()):
+            bs = plan[k]
+            idx = rng.permutation(len(e))[:n_batches * bs]
+            stacked[k] = (jnp.asarray(e[idx].reshape(n_batches, bs, k)),
+                          jnp.asarray(w[idx].reshape(n_batches, bs)))
+        self.state, aux = self._eval_epoch_fn(self.state, stacked)
+        aux = jax.device_get(aux)
+        metrics = size_stratified_metrics(aux["y"].reshape(-1),
+                                          aux["pred"].reshape(-1),
+                                          aux["size"].reshape(-1))
+        return {"bce": float(aux["bce"].mean()),
+                "recon": float(aux["recon"].mean()), "metrics": metrics}
+
+    # -------------------------------------------------------------- stage
+    def fit(self, train_buckets, test_buckets, *, epochs: int,
+            batch_size: int = 96, num_batch_per_iter: int = 1000,
+            checkpoint_path: Optional[str] = None, log=print, seed: int = 0):
+        """One stage of the schedule; returns history.  Checkpoints when the
+        largest size's validation AUPRC improves (ref Code/main.py:313-322)."""
+        batcher = BucketedBatcher(train_buckets, batch_size,
+                                  num_batch_per_iter, seed=seed)
+        max_k = max(train_buckets.keys())
+        best = 0.0
+        history = []
+        for epoch in range(epochs):
+            tr = self.train_epoch(batcher)
+            ev = self.eval_epoch(test_buckets, batch_size=batch_size,
+                                 seed=seed + epoch)
+            roc, aupr, acc = format_metrics(tr["metrics"])
+            log(f"[epoch {epoch}] train bce {tr['bce']:.4f} recon "
+                f"{tr['recon']:.4f} auc: {roc} aupr: {aupr} "
+                f"({tr['hyperedges_per_sec']:.0f} hyperedges/s, "
+                f"{tr['elapsed']:.1f}s)")
+            roc, aupr, acc = format_metrics(ev["metrics"])
+            log(f"[epoch {epoch}] valid bce {ev['bce']:.4f} recon "
+                f"{ev['recon']:.4f} auc: {roc} aupr: {aupr}")
+            history.append({"train": tr, "valid": ev})
+            val_aupr = ev["metrics"].get(max_k, ev["metrics"]["all"])["auprc"]
+            if checkpoint_path and val_aupr >= best:
+                best = val_aupr
+                save_checkpoint(checkpoint_path, self.state.params)
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            self.state = self.state._replace(
+                params=load_checkpoint(checkpoint_path))
+        return history
+
+    def export_embeddings(self, path: str) -> np.ndarray:
+        """Per-node embedding export (ref save_embeddings,
+        Code/main.py:462-479 -> ../embeddings.npy)."""
+        emb = np.asarray(node_embeddings(self.state.params, self.frozen,
+                                         self.dims))
+        np.save(path, emb)
+        return emb
+
+
+# ------------------------------------------------------------- checkpointing
+def save_checkpoint(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        return jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+
+
+def save_model_bundle(path: str, params, dims: ModelDims, genome,
+                      intra_adj=None, inter_adj=None) -> None:
+    """The inference-app artifact (parity with the reference's whole-model
+    pickle ``model2load``, ref Code/main.py:322,685): params + static dims +
+    genome metadata (+ the contact matrices needed to rebuild frozen tables)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "params.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump({"dims": dims._asdict(),
+                     "chrom_names": genome.chrom_names,
+                     "chrom_sizes": genome.chrom_sizes,
+                     "resolution": genome.resolution}, f)
+    if intra_adj is not None:
+        np.save(os.path.join(path, "intra_adj.npy"), intra_adj)
+    if inter_adj is not None:
+        np.save(os.path.join(path, "inter_adj.npy"), inter_adj)
+
+
+def load_model_bundle(path: str):
+    """-> (params, dims, genome, frozen)"""
+    from matcha_tpu.genome import GenomeBins
+    from matcha_tpu.models.hypersagnn import build_frozen_tables
+    with open(os.path.join(path, "params.pkl"), "rb") as f:
+        params = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    genome = GenomeBins(meta["chrom_names"], meta["chrom_sizes"],
+                        meta["resolution"])
+    dims = ModelDims(**meta["dims"])
+    intra = np.load(os.path.join(path, "intra_adj.npy"))
+    inter = np.load(os.path.join(path, "inter_adj.npy"))
+    frozen = build_frozen_tables(genome, intra, inter)
+    return params, dims, genome, frozen
