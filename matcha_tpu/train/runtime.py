@@ -101,7 +101,17 @@ class Trainer:
     def __init__(self, params: Dict, frozen: FrozenTables, dims: ModelDims,
                  chrom_table: ChromTable, settings: TrainSettings,
                  blooms: Optional[Dict[int, DeviceBloomFilter]] = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            # SPMD placement (parallel/mesh.py): batch on "data", node-axis
+            # tables on "model"; jit compiles the step over the mesh.
+            from matcha_tpu.parallel.mesh import (frozen_sharding,
+                                                  pad_frozen_for_mesh,
+                                                  param_sharding)
+            params = jax.device_put(params, param_sharding(params, mesh))
+            frozen = pad_frozen_for_mesh(frozen, mesh)
+            frozen = jax.device_put(frozen, frozen_sharding(frozen, mesh))
         self.frozen = frozen
         self.dims = dims
         self.chrom_table = chrom_table
@@ -153,9 +163,18 @@ class Trainer:
         self._eval_epoch_fn = eval_epoch_fn
 
     # ------------------------------------------------------------- epochs
+    def _place_batch(self, stacked):
+        if self.mesh is None:
+            return stacked
+        from matcha_tpu.parallel.mesh import batch_sharding
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, batch_sharding(self.mesh, x.ndim)), stacked)
+
     def train_epoch(self, batcher: BucketedBatcher):
         stacked = {k: (jnp.asarray(e), jnp.asarray(w))
                    for k, (e, w) in batcher.next_epoch().items()}
+        stacked = self._place_batch(stacked)
         t0 = time.time()
         self.state, aux = self._train_epoch_fn(self.state, stacked)
         aux = jax.device_get(aux)
@@ -189,6 +208,7 @@ class Trainer:
             idx = rng.permutation(len(e))[:n_batches * bs]
             stacked[k] = (jnp.asarray(e[idx].reshape(n_batches, bs, k)),
                           jnp.asarray(w[idx].reshape(n_batches, bs)))
+        stacked = self._place_batch(stacked)
         self.state, aux = self._eval_epoch_fn(self.state, stacked)
         aux = jax.device_get(aux)
         metrics = size_stratified_metrics(aux["y"].reshape(-1),
