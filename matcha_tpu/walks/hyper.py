@@ -1,0 +1,144 @@
+"""True hypergraph random walks over the incidence structure.
+
+Semantics of the reference's ``random_walk_hyper.py`` (ref History_version/
+Code/random_walk_hyper.py):
+
+  * incidence matrices EV (E x N), VE, and degree-normalized
+    EV_over_delta = diag(1/sqrt(|e|)) EV  (ref build_graph :84-126)
+  * first-order weight src->dst:
+        ff(src,dst) = sum_{e ∋ src,dst} 1/|e|          (the VE_od @ EV_od SpMM,
+        ref get_first_order_part :128-141)
+    prob ∝ ff / sqrt(node_degree(dst))
+  * second-order (src -> dst -> x) over x in nbr(dst)
+    (ref get_alias_n2n_2nd :222-254), with weight_1st=1, weight_degree=-0.5:
+        pp = 1/q
+        pp /= p  if x co-occurs in a hyperedge with some e ∋ {src,dst}
+                 (i.e. x belongs to at least one hyperedge containing both)
+        pp *= q  if x == src or x adjacent to src
+        prob ∝ pp * ff(dst,x) * node_degree(x)^-0.5
+  * walks as in the clique walker; node ids here are 0-based (the reference
+    shifts its 1-based hyperedges down by one, ref toint :436-437)
+
+The SpMM runs once as a scipy sparse product (the reference recomputes rows
+per node across an 80-process pool); tabulation is vectorized per (src,dst)
+with CSR set intersections; simulation reuses the flat alias walker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.sparse import csr_matrix
+
+from matcha_tpu.walks.alias import build_alias_tables
+
+
+def incidence_matrices(num_nodes: int, hyperedges):
+    """EV (E x N) binary incidence + degree-normalized variant."""
+    indptr = np.zeros(len(hyperedges) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in hyperedges], out=indptr[1:])
+    indices = np.concatenate([np.asarray(e) for e in hyperedges]) \
+        if len(hyperedges) else np.zeros(0, np.int64)
+    data = np.ones(len(indices), dtype=np.float32)
+    EV = csr_matrix((data, indices, indptr),
+                    shape=(len(hyperedges), num_nodes))
+    sizes = np.asarray(EV.sum(axis=1)).reshape(-1)
+    inv_sqrt = 1.0 / np.sqrt(np.maximum(sizes, 1))
+    EV_od = csr_matrix(EV.multiply(inv_sqrt[:, None]))
+    return EV, EV_od
+
+
+def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
+                     q: float = 0.25, num_walks: int = 10,
+                     walk_length: int = 80, seed: int = 0) -> np.ndarray:
+    """-> (num_nodes * num_walks, walk_length) walks (0-based node ids)."""
+    rng = np.random.default_rng(seed)
+    EV, EV_od = incidence_matrices(num_nodes, hyperedges)
+    VE = EV.T.tocsr()
+    node_degree = np.asarray(EV.sum(axis=0)).reshape(-1)
+
+    # ff = VE_od @ EV_od : (N, N) node-node weights, diagonal removed
+    W = (EV_od.T @ EV_od).tocsr()
+    W.setdiag(0)
+    W.eliminate_zeros()
+    W.sort_indices()
+
+    # first-order tables
+    dists, values = [], []
+    for v in range(num_nodes):
+        s, e = W.indptr[v], W.indptr[v + 1]
+        nbrs = W.indices[s:e]
+        w = W.data[s:e] / np.sqrt(np.maximum(node_degree[nbrs], 1))
+        tot = w.sum()
+        dists.append(w / tot if tot > 0 else w)
+        values.append(nbrs)
+    first = build_alias_tables(dists, values)
+
+    # second-order tables per directed pair (src, dst)
+    VE_indptr, VE_indices = VE.indptr, VE.indices        # node -> hyperedges
+    EV_indptr, EV_indices = EV.indptr, EV.indices        # hyperedge -> nodes
+    dists2, values2, keys2 = [], [], []
+    for dst in range(num_nodes):
+        s, e = W.indptr[dst], W.indptr[dst + 1]
+        dst_nbr = W.indices[s:e]
+        if len(dst_nbr) == 0:
+            continue
+        ff_dst = W.data[s:e]
+        deg_term = node_degree[dst_nbr] ** -0.5
+        e_dst = VE_indices[VE_indptr[dst]:VE_indptr[dst + 1]]
+        for src in dst_nbr:                  # directed (src -> dst)
+            e_src = VE_indices[VE_indptr[src]:VE_indptr[src + 1]]
+            e1 = np.intersect1d(e_dst, e_src, assume_unique=False)
+            # members of any hyperedge containing both src and dst
+            if len(e1):
+                members = np.unique(np.concatenate(
+                    [EV_indices[EV_indptr[i]:EV_indptr[i + 1]] for i in e1]))
+            else:
+                members = np.zeros(0, dtype=np.int64)
+            pp = np.full(len(dst_nbr), 1.0 / q)
+            pp[np.isin(dst_nbr, members)] /= p          # ref :231-232
+            src_nbr = W.indices[W.indptr[src]:W.indptr[src + 1]]
+            back = np.isin(dst_nbr, src_nbr) | (dst_nbr == src)
+            pp[back] *= q                                # ref :234-238
+            pr = pp * ff_dst * deg_term                  # ref :246-249
+            tot = pr.sum()
+            dists2.append(pr / tot if tot > 0 else pr)
+            values2.append(dst_nbr)
+            keys2.append(src * num_nodes + dst)
+    keys2 = np.asarray(keys2, dtype=np.int64)
+    order = np.argsort(keys2)
+    second = build_alias_tables([dists2[i] for i in order],
+                                [values2[i] for i in order])
+    edge_keys = keys2[order]
+
+    # lockstep simulation (same walker as clique)
+    starts = np.repeat(np.arange(num_nodes), num_walks)
+    walks = np.zeros((len(starts), walk_length), dtype=np.int64)
+    walks[:, 0] = starts
+    has_nbr = first.size(np.arange(num_nodes)) > 0
+
+    if walk_length > 1:
+        cur = starts
+        nxt = cur.copy()
+        live = has_nbr[cur]
+        if live.any():
+            nxt[live] = first.draw(cur[live], rng)
+        walks[:, 1] = nxt
+
+    for step in range(2, walk_length):
+        prev, cur = walks[:, step - 2], walks[:, step - 1]
+        live = has_nbr[cur]
+        nxt = cur.copy()
+        if live.any():
+            key = prev[live] * num_nodes + cur[live]
+            tid = np.searchsorted(edge_keys, key)
+            valid = (tid < len(edge_keys)) & (edge_keys[np.minimum(
+                tid, len(edge_keys) - 1)] == key)
+            sub = np.zeros(live.sum(), dtype=np.int64)
+            if valid.any():
+                sub[valid] = second.draw(tid[valid], rng)
+            if (~valid).any():
+                sub[~valid] = first.draw(cur[live][~valid], rng)
+            nxt[live] = sub
+        walks[:, step] = nxt
+
+    return walks[rng.permutation(len(walks))]

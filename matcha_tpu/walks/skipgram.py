@@ -1,0 +1,121 @@
+"""TPU-native skip-gram with negative sampling (SGNS) over random walks.
+
+This is the device-kernel replacement for the reference's word2vec machinery:
+the legacy pipeline trains gensim Word2Vec on walk strings
+(ref History_version/Code/main_SPRITE.py:701-765) and ships a vestigial
+compiled TensorFlow CPU op (``word2vec_ops.so`` — SkipgramWord2vecOp /
+NegTrainWord2vecOp, SURVEY §2.11).  Here the whole SGNS update — embedding
+gather, sampled-softmax logistic loss, scatter-add gradient — runs as one
+jitted ``lax.scan`` over minibatches on TPU.
+
+Semantics follow word2vec: dynamic window (uniform 1..window per center),
+unigram^0.75 negative-sampling distribution, separate input/output embedding
+tables, logistic loss  -log σ(u·v) - Σ log σ(-u·v_neg).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def walks_to_pairs(walks: np.ndarray, window: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """(W, L) walks -> (P, 2) center/context pairs with per-center dynamic
+    window ~ Uniform{1..window} (word2vec's window shrinking)."""
+    W, L = walks.shape
+    pairs = []
+    b = rng.integers(1, window + 1, size=(W, L))     # dynamic windows
+    for off in range(1, window + 1):
+        centers = walks[:, :L - off]
+        contexts = walks[:, off:]
+        keep = b[:, :L - off] >= off
+        pairs.append(np.stack([centers[keep], contexts[keep]], 1))
+        # symmetric direction
+        pairs.append(np.stack([contexts[keep], centers[keep]], 1))
+    out = np.concatenate(pairs, axis=0)
+    return out[rng.permutation(len(out))]
+
+
+def unigram_table(walks: np.ndarray, vocab: int,
+                  power: float = 0.75) -> np.ndarray:
+    counts = np.bincount(walks.reshape(-1), minlength=vocab).astype(np.float64)
+    probs = counts ** power
+    s = probs.sum()
+    return (probs / s if s > 0 else np.full(vocab, 1.0 / vocab)).astype(
+        np.float32)
+
+
+@partial(jax.jit, static_argnames=("neg_num", "lr"))
+def _sgns_epoch(emb_in, emb_out, pairs, neg_table_cdf, key, *,
+                neg_num: int = 5, lr: float = 0.025):
+    """One scanned pass of SGD updates over (B, m, 2) minibatched pairs."""
+
+    def step(carry, batch):
+        emb_in, emb_out, key = carry
+        key, kn = jax.random.split(key)
+        centers, contexts = batch[:, 0], batch[:, 1]
+        m = centers.shape[0]
+        u = jax.random.uniform(kn, (m, neg_num))
+        negs = jnp.searchsorted(neg_table_cdf, u)        # unigram^0.75 draws
+
+        v_in = emb_in[centers]                            # (m, d)
+        v_pos = emb_out[contexts]                         # (m, d)
+        v_neg = emb_out[negs]                             # (m, neg, d)
+
+        pos_score = jnp.sum(v_in * v_pos, axis=-1)        # (m,)
+        neg_score = jnp.einsum("md,mnd->mn", v_in, v_neg)
+
+        g_pos = jax.nn.sigmoid(pos_score) - 1.0           # dL/dscore
+        g_neg = jax.nn.sigmoid(neg_score)                 # (m, neg)
+
+        grad_in = (g_pos[:, None] * v_pos
+                   + jnp.einsum("mn,mnd->md", g_neg, v_neg))
+        grad_pos = g_pos[:, None] * v_in
+        grad_neg = g_neg[..., None] * v_in[:, None, :]
+
+        emb_in = emb_in.at[centers].add(-lr * grad_in)
+        emb_out = emb_out.at[contexts].add(-lr * grad_pos)
+        emb_out = emb_out.at[negs.reshape(-1)].add(
+            -lr * grad_neg.reshape(-1, grad_neg.shape[-1]))
+
+        loss = (-jax.nn.log_sigmoid(pos_score).mean()
+                - jax.nn.log_sigmoid(-neg_score).sum(-1).mean())
+        return (emb_in, emb_out, key), loss
+
+    (emb_in, emb_out, key), losses = jax.lax.scan(
+        step, (emb_in, emb_out, key), pairs)
+    return emb_in, emb_out, losses
+
+
+def train_skipgram(walks: np.ndarray, vocab: int, dim: int, *,
+                   window: int = 10, neg_num: int = 5, epochs: int = 1,
+                   lr: float = 0.025, batch: int = 4096,
+                   seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Train SGNS over walks -> (emb_in (V, d), mean loss per epoch)."""
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    emb_in = jnp.asarray(
+        (rng.random((vocab, dim)) - 0.5) / dim, dtype=jnp.float32)
+    emb_out = jnp.zeros((vocab, dim), dtype=jnp.float32)
+    cdf = jnp.asarray(np.cumsum(unigram_table(walks, vocab)))
+
+    losses = []
+    for ep in range(epochs):
+        pairs = walks_to_pairs(walks, window, rng)
+        n = (len(pairs) // batch) * batch
+        if n == 0:
+            batch_eff = len(pairs)
+            pairs_b = pairs[None, :, :]
+        else:
+            pairs_b = pairs[:n].reshape(-1, batch, 2)
+        key, ke = jax.random.split(key)
+        emb_in, emb_out, ls = _sgns_epoch(
+            emb_in, emb_out, jnp.asarray(pairs_b), cdf, ke,
+            neg_num=neg_num, lr=lr)
+        losses.append(float(ls.mean()))
+    return np.asarray(emb_in), np.asarray(losses)
