@@ -1,0 +1,86 @@
+"""Device-resident incidence-structure ops (SpMM / SDDMM family).
+
+The reference's only SpMM-shaped computation is the hypergraph-walk
+preprocessing on scipy CSR (ref History_version/Code/random_walk_hyper.py:
+84-141, SURVEY §2.12).  Here the incidence structure lives on device as a
+padded hyperedge matrix — the TPU-native layout (SURVEY §7.1): fixed shapes,
+gathers and segment reductions instead of CSR pointer chasing.
+
+  PaddedIncidence: (E, k_max) int32 node ids, 0 = padding
+  edge_gather_sum: Y[e] = sum_{v in e} X[v] * w_e        (SpMM  E x N · N x d)
+  node_scatter_add: Z[v] = sum_{e : v in e} Y[e]         (SpMM  N x E · E x d)
+  edge_sddmm: S[e] = sum_{u<v in e} <X[u], X[v]>         (hyperedge SDDMM)
+
+All are XLA gather/scatter/segment-sum ops; XLA lowers them onto the TPU's
+vector units and fuses the elementwise epilogues.  These back the denoise
+all-pairs scoring and any future message-passing model family over the same
+incidence store.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PaddedIncidence(NamedTuple):
+    """Padded hyperedge members: (E, k_max) int32 node ids, 0 = pad."""
+    members: jnp.ndarray
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        return self.members != 0
+
+    @classmethod
+    def from_ragged(cls, hyperedges, k_max: Optional[int] = None,
+                    ) -> "PaddedIncidence":
+        sizes = [len(e) for e in hyperedges]
+        k_max = k_max or (max(sizes) if sizes else 1)
+        out = np.zeros((len(hyperedges), k_max), dtype=np.int32)
+        for i, e in enumerate(hyperedges):
+            out[i, :len(e)] = np.asarray(e)
+        return cls(members=jnp.asarray(out))
+
+    @classmethod
+    def from_csr(cls, flat: np.ndarray, offsets: np.ndarray,
+                 k_max: Optional[int] = None) -> "PaddedIncidence":
+        sizes = np.diff(offsets)
+        k_max = k_max or int(sizes.max() if len(sizes) else 1)
+        out = np.zeros((len(sizes), k_max), dtype=np.int32)
+        for i in range(len(sizes)):
+            out[i, :sizes[i]] = flat[offsets[i]:offsets[i + 1]]
+        return cls(members=jnp.asarray(out))
+
+
+def edge_gather_sum(inc: PaddedIncidence, node_feats: jnp.ndarray,
+                    edge_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Y[e] = w_e * sum_{v in e} X[v].  node_feats: (N+1, d) with row 0
+    zeros (the pad row makes masking free)."""
+    gathered = node_feats[inc.members]            # (E, k, d); pads hit row 0
+    y = gathered.sum(axis=1)
+    if edge_weight is not None:
+        y = y * edge_weight[:, None]
+    return y
+
+
+def node_scatter_add(inc: PaddedIncidence, edge_feats: jnp.ndarray,
+                     num_nodes: int) -> jnp.ndarray:
+    """Z[v] = sum_{e containing v} Y[e] -> (N+1, d); row 0 collects pads."""
+    e, k = inc.members.shape
+    flat_ids = inc.members.reshape(-1)
+    flat_feats = jnp.repeat(edge_feats, k, axis=0)
+    return jax.ops.segment_sum(flat_feats, flat_ids, num_segments=num_nodes + 1)
+
+
+def edge_sddmm(inc: PaddedIncidence, node_feats: jnp.ndarray) -> jnp.ndarray:
+    """S[e] = sum over unordered member pairs of <X[u], X[v]> — the sampled
+    dense-dense product over the incidence sparsity (SDDMM).  Pad-safe via
+    the zero row."""
+    g = node_feats[inc.members]                   # (E, k, d)
+    s = g.sum(axis=1)                             # (E, d)
+    total = jnp.sum(s * s, axis=-1)               # ||sum||^2
+    norms = jnp.sum(g * g, axis=-1).sum(axis=-1)  # sum ||x_i||^2
+    return 0.5 * (total - norms)

@@ -244,7 +244,8 @@ class Trainer:
             val_aupr = ev["metrics"].get(max_k, ev["metrics"]["all"])["auprc"]
             if checkpoint_path and val_aupr >= best:
                 best = val_aupr
-                save_checkpoint(checkpoint_path, self.state.params)
+                save_checkpoint(checkpoint_path, self.state.params,
+                                self.state.opt_state, epoch)
         if checkpoint_path and os.path.exists(checkpoint_path):
             self.state = self.state._replace(
                 params=load_checkpoint(checkpoint_path))
@@ -260,15 +261,25 @@ class Trainer:
 
 
 # ------------------------------------------------------------- checkpointing
-def save_checkpoint(path: str, params) -> None:
+def save_checkpoint(path: str, params, opt_state=None, epoch=None) -> None:
+    """Best-model checkpoint (parity with ref {'model_link', 'epoch'} dict,
+    Code/main.py:316-322, extended with optimizer state for true resume —
+    the reference cannot resume mid-stage, SURVEY §5.4)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
-        pickle.dump(jax.device_get(params), f)
+        pickle.dump({"params": jax.device_get(params),
+                     "opt_state": jax.device_get(opt_state)
+                     if opt_state is not None else None,
+                     "epoch": epoch}, f)
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, full: bool = False):
     with open(path, "rb") as f:
-        return jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+        ckpt = pickle.load(f)
+    if not isinstance(ckpt, dict) or "params" not in ckpt:
+        ckpt = {"params": ckpt, "opt_state": None, "epoch": None}
+    ckpt["params"] = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+    return ckpt if full else ckpt["params"]
 
 
 def save_model_bundle(path: str, params, dims: ModelDims, genome,

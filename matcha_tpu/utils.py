@@ -1,0 +1,73 @@
+"""Small utilities: parameter summaries, adjacency helpers, profiling hooks."""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def param_count(params) -> int:
+    """Total trainable parameter count (the reference prints this at startup,
+    ref Code/main.py:632-634; note the reference's number also includes its
+    dead branches — encode2, fc2, pff_n2, tied-AE decode biases — which never
+    receive gradients and are omitted from our pytree, see models docstring)."""
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def param_summary(params, max_depth: int = 3) -> str:
+    """Keras/torchsummary-style table of the parameter pytree
+    (capability parity with History_version/Code/torchsummary.py)."""
+    rows = []
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + [str(k)])
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                walk(v, path + [str(i)])
+        else:
+            rows.append((".".join(path), tuple(tree.shape),
+                         int(np.prod(tree.shape))))
+
+    walk(params, [])
+    grouped: Dict[str, int] = {}
+    for name, shape, n in rows:
+        key = ".".join(name.split(".")[:max_depth])
+        grouped[key] = grouped.get(key, 0) + n
+    width = max(len(k) for k in grouped) if grouped else 10
+    lines = [f"{'module':<{width}}  params", "-" * (width + 10)]
+    for k in sorted(grouped):
+        lines.append(f"{k:<{width}}  {grouped[k]:,}")
+    lines.append("-" * (width + 10))
+    lines.append(f"{'total':<{width}}  {param_count(params):,}")
+    return "\n".join(lines)
+
+
+def edgelist_to_adjacency(flat: np.ndarray, offsets: np.ndarray,
+                          num_nodes: int) -> np.ndarray:
+    """Clique-expansion co-occurrence adjacency of the hyperedge list
+    (ref edgelist2adj, Code/process.py:90-105 — disabled in the reference
+    driver but part of its API surface).  Entry (i-1, j-1) counts hyperedges
+    containing both nodes i and j (i != j)."""
+    adj = np.zeros((num_nodes, num_nodes))
+    for a in range(len(offsets) - 1):
+        e = flat[offsets[a]:offsets[a + 1]]
+        i, j = np.meshgrid(e, e, indexing="ij")
+        mask = i != j
+        np.add.at(adj, (i[mask] - 1, j[mask] - 1), 1)
+    return adj
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str | None):
+    """jax.profiler trace scope (SURVEY §5.1: the reference has only
+    wall-clock prints; we expose real TPU traces)."""
+    if log_dir is None:
+        yield
+        return
+    with jax.profiler.trace(log_dir):
+        yield
