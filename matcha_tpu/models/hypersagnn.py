@@ -62,28 +62,53 @@ class FrozenTables(NamedTuple):
 
 
 # --------------------------------------------------------------------- init
-def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int]) -> Dict:
+def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int],
+               embedding_mode: str = "corrcoef-ae",
+               table_init: Optional[np.ndarray] = None) -> Dict:
     """Build the trainable parameter pytree.
 
     chrom_sizes: number of bins per chromosome (widths of the corrcoef
-    feature tables)."""
+    feature tables).
+
+    embedding_mode:
+      "corrcoef-ae" — per-chromosome tied autoencoders over the frozen
+        corrcoef tables (the current reference pipeline, Code/Modules.py:125).
+      "table" — a plain trainable (N+1, dim) embedding table, optionally
+        initialized from walk/skip-gram pretraining — the legacy
+        Wrap_Embedding path (History_version/Code/main_SPRITE.py:757-765);
+        the inter-chromosome recon loss is 0 in this mode, as in the legacy
+        Wrap_Embedding's zero recon return (History_version .../Modules.py).
+    """
     d = dims.dim
     keys = jax.random.split(key, 8 + 2 * len(chrom_sizes))
-    ae, recon = [], []
-    for c, n_c in enumerate(chrom_sizes):
-        k1, k2 = jax.random.split(keys[8 + c])
-        # tied autoencoder [n_c, d, d], use_bias=False (ref Code/Modules.py:163)
-        # kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)) per layer
-        ae.append({
-            "w1": linear_init(k1, n_c, d, use_bias=False)["w"],
-            "w2": linear_init(k2, d, d, use_bias=False)["w"],
-        })
-        # per-chrom inter-recon decoder FeedForward([d, n_c]) (ref :166)
-        recon.append(linear_init(keys[8 + len(chrom_sizes) + c], d, n_c))
+    if embedding_mode == "table":
+        n_total = sum(chrom_sizes)
+        if table_init is not None:
+            table = jnp.asarray(np.concatenate(
+                [np.zeros((1, d), np.float32),
+                 np.asarray(table_init, np.float32)]))
+        else:
+            table = jax.random.normal(keys[7], (n_total + 1, d)) * 0.02
+            table = table.at[0].set(0.0)
+        embed = {"table": table}
+    else:
+        ae, recon = [], []
+        for c, n_c in enumerate(chrom_sizes):
+            k1, k2 = jax.random.split(keys[8 + c])
+            # tied autoencoder [n_c, d, d], use_bias=False
+            # (ref Code/Modules.py:163); kaiming-uniform(a=sqrt(5)) ==
+            # U(±1/sqrt(fan_in)) per layer
+            ae.append({
+                "w1": linear_init(k1, n_c, d, use_bias=False)["w"],
+                "w2": linear_init(k2, d, d, use_bias=False)["w"],
+            })
+            # per-chrom inter-recon decoder FeedForward([d, n_c]) (ref :166)
+            recon.append(linear_init(keys[8 + len(chrom_sizes) + c], d, n_c))
+        embed = {"ae": ae, "recon": recon}
 
     attr_dim = len(chrom_sizes) + 1
     return {
-        "embed": {"ae": ae, "recon": recon},
+        "embed": embed,
         "attr_nn": linear_init(keys[0], attr_dim, d),      # ref :248
         "next_w": feed_forward_init(keys[1], [d, d]),      # Classifier.next_w :242
         "encoder": encoder_layer_init(keys[2], dims.n_head, d, d, d, d),
@@ -170,7 +195,10 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
 
     This is the TPU replacement for the reference's per-batch mask loop
     (ref Code/Modules.py:176-189): H = tanh(X @ W1) @ W2 per chromosome.
+    In "table" embedding mode the trainable table IS the node table.
     """
+    if "table" in params["embed"]:
+        return params["embed"]["table"].at[0].set(0.0)
     blocks = [jnp.zeros((1, dims.dim), dtype=jnp.float32)]
     for c, x in enumerate(frozen.features):
         if train and key is not None:
@@ -193,6 +221,8 @@ def recon_loss_fn(params: Dict, frozen: FrozenTables, dims: ModelDims,
     (ref Code/Modules.py:192-199): pick one random chromosome r; for batch
     nodes NOT on r, decode FF_r(tanh(embed)) and MSE against the z-scored
     inter-contact row restricted to r's columns; ×100."""
+    if "table" in params["embed"]:
+        return jnp.asarray(0.0)       # legacy Wrap_Embedding: zero recon
     r = jax.random.randint(key, (), 0, dims.num_chroms)
     return recon_loss_with_chrom(params, frozen, dims, x_flat, emb_flat, r)
 
@@ -230,11 +260,16 @@ def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
 def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
             x: jnp.ndarray, *, key: Optional[jax.Array] = None,
             train: bool = False, return_recon: bool = False,
-            node_table: Optional[jnp.ndarray] = None):
+            node_table: Optional[jnp.ndarray] = None,
+            return_positions: bool = False):
     """Score a padded hyperedge batch x (B, L) int32 -> raw logits (B, 1).
 
     node_table: optionally pass a precomputed encode_node_table result (reused
-    across the per-size buckets of one train step)."""
+    across the per-size buckets of one train step).
+    return_positions: also return the per-position raw scores (B, L) before
+    the masked mean — the signal behind outlier-member detection (the legacy
+    reference accepts a ``get_outlier`` argument but silently ignores it,
+    History_version/Code/Modules.py:314-356; here the capability works)."""
     if key is not None:
         key, k_tab, k_rec, k_enc = jax.random.split(key, 4)
     else:
@@ -259,14 +294,18 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     dynamic = layer_norm(params["ln_dynamic"], dynamic)
     static = layer_norm(params["ln_static"], static)
     out = (dynamic - static) ** 2 if dims.diag_mask else dynamic
-    out = pff(params["pff_classifier"], out)           # (B, L, 1)
-    out = jnp.sum(out * npm, axis=-2) / (jnp.sum(npm, axis=-2) + 1e-15)
+    per_pos = pff(params["pff_classifier"], out)       # (B, L, 1)
+    out = (jnp.sum(per_pos * npm, axis=-2)
+           / (jnp.sum(npm, axis=-2) + 1e-15))
 
+    rest = ()
     if return_recon:
         recon = recon_loss_fn(params, frozen, dims, x.reshape(-1),
                               emb.reshape(b * L, -1), k_rec)
-        return out, recon
-    return out
+        rest += (recon,)
+    if return_positions:
+        rest += (per_pos[..., 0],)
+    return (out,) + rest if rest else out
 
 
 def node_embeddings(params: Dict, frozen: FrozenTables, dims: ModelDims,

@@ -78,8 +78,15 @@ def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
 def sample_negatives(key: jax.Array, positives: jnp.ndarray,
                      table: ChromTable, min_distance: int,
                      bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
-                     max_trials: int = 64) -> jnp.ndarray:
-    """Generate (B*neg_num, k) negatives for a (B, k) positive bucket."""
+                     max_trials: int = 64,
+                     hard_ratio: float = 1.0) -> jnp.ndarray:
+    """Generate (B*neg_num, k) negatives for a (B, k) positive bucket.
+
+    hard_ratio: fraction of negatives corrupted chromosome-constrained at the
+    binomially-chosen positions ("hard"); the rest are wholly random
+    hyperedges over the full node range ("simple") — the legacy pair_ratio
+    mixing (ref History_version/Code/main_SPRITE.py:423-449).  The current
+    reference pipeline uses hard_ratio=1.0."""
     b, k = positives.shape
     n = b * neg_num
     orig = jnp.tile(positives, (neg_num, 1)).astype(jnp.int32)
@@ -94,6 +101,13 @@ def sample_negatives(key: jax.Array, positives: jnp.ndarray,
     chrom = table.node2chrom[orig]                   # (n, k)
     lo = table.chrom_start[chrom].astype(jnp.float32)
     hi = table.chrom_end[chrom].astype(jnp.float32)
+    if hard_ratio < 1.0:
+        key, kh = jax.random.split(key)
+        hard = jax.random.uniform(kh, (n, 1)) <= hard_ratio
+        num_nodes = table.node2chrom.shape[0]        # N + 1
+        change = change | ~hard                      # simple: corrupt all
+        lo = jnp.where(hard, lo, 1.0)                # simple: whole range
+        hi = jnp.where(hard, hi, float(num_nodes))
 
     def propose(kr):
         u = jax.random.uniform(kr, (n, k))

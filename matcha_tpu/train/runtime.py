@@ -54,6 +54,8 @@ class TrainSettings(NamedTuple):
     max_trials: int = 64
     learning_rate: float = 1e-3
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
+    task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)
+    hard_ratio: float = 1.0      # legacy pair_ratio negative mixing
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
@@ -74,17 +76,39 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
         neg = sample_negatives(k_neg, pos, table, settings.min_distance,
                                None if blooms is None else blooms[k],
                                neg_num=settings.neg_num,
-                               max_trials=settings.max_trials)
-        x, y, ww = assemble_batch(pos, w, neg)
-        logits, recon = forward(params, frozen, dims, x, key=k_fwd,
-                                train=train, return_recon=True,
-                                node_table=node_table)
-        bce = jnp.mean(ww * optax.sigmoid_binary_cross_entropy(logits, y))
+                               max_trials=settings.max_trials,
+                               hard_ratio=settings.hard_ratio)
+        if settings.task_mode == "regress":
+            # pairwise-ranking variant (ref forward_op_batch_regress,
+            # Code/main.py:60-115): y = quantile weight for positives / 0 for
+            # negatives, pred = softplus(logit), MSE loss; the reported
+            # "prediction" is the sigmoid of pos-vs-neg score differences
+            x = jnp.concatenate([pos, neg], axis=0)
+            y = jnp.concatenate([w.reshape(-1),
+                                 jnp.zeros(neg.shape[0])])[:, None]
+            logits, recon = forward(params, frozen, dims, x, key=k_fwd,
+                                    train=train, return_recon=True,
+                                    node_table=node_table)
+            pred = jax.nn.softplus(logits)
+            bce = jnp.mean((pred - y) ** 2)
+            n_pos = pos.shape[0]
+            diff = pred[:n_pos, 0] - pred[n_pos:2 * n_pos, 0]
+            pair_pred = jax.nn.sigmoid(diff)
+            pair_y = jnp.ones_like(diff)        # positive should outrank
+            preds.append(pair_pred)
+            ys.append(pair_y)
+            sizes.append(jnp.full(n_pos, k, dtype=jnp.int32))
+        else:
+            x, y, ww = assemble_batch(pos, w, neg)
+            logits, recon = forward(params, frozen, dims, x, key=k_fwd,
+                                    train=train, return_recon=True,
+                                    node_table=node_table)
+            bce = jnp.mean(ww * optax.sigmoid_binary_cross_entropy(logits, y))
+            preds.append(jax.nn.sigmoid(logits).reshape(-1))
+            ys.append(y.reshape(-1))
+            sizes.append(jnp.full(y.shape[0], k, dtype=jnp.int32))
         total_bce = total_bce + bce
         total_recon = total_recon + recon
-        preds.append(jax.nn.sigmoid(logits).reshape(-1))
-        ys.append(y.reshape(-1))
-        sizes.append(jnp.full(y.shape[0], k, dtype=jnp.int32))
     n_buckets = len(batch)
     total_bce = total_bce / n_buckets
     total_recon = total_recon / n_buckets

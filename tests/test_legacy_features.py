@@ -1,0 +1,120 @@
+"""Legacy-capability tests: simple/hard negative mixing, regress task mode,
+trainable-table embedding mode, outlier detection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matcha_tpu.apps.outlier import (generate_outliers, outlier_hit_rate,
+                                     per_position_scores, rank_outliers)
+from matcha_tpu.genome import GenomeBins
+from matcha_tpu.models.hypersagnn import (ModelDims, build_frozen_tables,
+                                          encode_node_table, forward,
+                                          init_model)
+from matcha_tpu.sampler.bloom import build_bloom
+from matcha_tpu.sampler.negative import ChromTable, sample_negatives
+from matcha_tpu.train.runtime import Trainer, TrainSettings
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    genome = GenomeBins(["chr1", "chr2"], [24_000_000, 15_000_000], 1_000_000)
+    n = genome.num_nodes
+    intra = rng.random((n, n)).astype(np.float32)
+    intra = intra + intra.T
+    inter = rng.random((n, n)).astype(np.float32)
+    dims = ModelDims(dim=16, n_head=4, num_chroms=2, num_nodes=n)
+    chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
+    frozen = build_frozen_tables(genome, intra, inter)
+    return genome, dims, chrom_sizes, frozen
+
+
+def test_simple_hard_mixing(problem, rng):
+    genome, dims, chrom_sizes, frozen = problem
+    table = ChromTable.from_genome(genome)
+    pos = []
+    while len(pos) < 128:
+        r = np.sort(rng.integers(1, genome.num_nodes, 3))
+        if (np.diff(r) > 0).all():
+            pos.append(r)
+    pos = np.asarray(pos, dtype=np.int32)
+    bloom = build_bloom(pos)
+    # hard_ratio=0 -> every negative is a wholly random hyperedge;
+    # chromosome multiset is NOT preserved for many rows
+    neg = np.asarray(sample_negatives(
+        jax.random.PRNGKey(0), jnp.asarray(pos), table, 0, bloom,
+        neg_num=2, hard_ratio=0.0))
+    pos_chroms = np.sort(genome.node2chrom[np.tile(pos, (2, 1))], axis=1)
+    neg_chroms = np.sort(genome.node2chrom[neg], axis=1)
+    assert (pos_chroms != neg_chroms).any()
+    # structural constraints still hold
+    assert (np.diff(neg, axis=1) > 0).all()
+    # hard_ratio=1.0 behaves like the default (chromosomes preserved)
+    neg_h = np.asarray(sample_negatives(
+        jax.random.PRNGKey(0), jnp.asarray(pos), table, 0, bloom,
+        neg_num=2, hard_ratio=1.0))
+    np.testing.assert_array_equal(
+        np.sort(genome.node2chrom[np.tile(pos, (2, 1))], 1),
+        np.sort(genome.node2chrom[neg_h], 1))
+
+
+def test_table_embedding_mode(problem):
+    genome, dims, chrom_sizes, frozen = problem
+    init = np.full((genome.num_nodes, dims.dim), 0.5, np.float32)
+    params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes,
+                        embedding_mode="table", table_init=init)
+    table = encode_node_table(params, frozen, dims)
+    assert table.shape == (genome.num_nodes + 1, dims.dim)
+    np.testing.assert_allclose(np.asarray(table[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(table[1:]), 0.5)
+    x = jnp.asarray([[1, 5, 9], [2, 4, 0]], dtype=jnp.int32)
+    out, recon = forward(params, frozen, dims, x, return_recon=True,
+                         key=jax.random.PRNGKey(1), train=True)
+    assert out.shape == (2, 1)
+    assert float(recon) == 0.0
+
+
+def test_regress_mode_trains(problem, rng):
+    genome, dims, chrom_sizes, frozen = problem
+    params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
+    buckets = {}
+    edges = []
+    while len(edges) < 64:
+        r = np.sort(rng.integers(1, genome.num_nodes, 2))
+        if r[0] != r[1]:
+            edges.append(r)
+    buckets[2] = (np.asarray(edges, np.int32),
+                  rng.random(64).astype(np.float32) + 0.5)
+    settings = TrainSettings(alpha=1.0, beta=0.0, neg_num=1,
+                             task_mode="regress")
+    trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
+                      settings, blooms={2: build_bloom(buckets[2][0])})
+    from matcha_tpu.data.batcher import BucketedBatcher
+    batcher = BucketedBatcher(buckets, batch_size=16, num_batch_per_iter=4)
+    r = trainer.train_epoch(batcher)
+    assert np.isfinite(r["bce"])
+
+
+def test_outlier_detection(problem, rng):
+    genome, dims, chrom_sizes, frozen = problem
+    params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
+    x = np.asarray([[1, 5, 9, 12], [2, 4, 6, 0]], dtype=np.int32)
+    scores = per_position_scores(params, frozen, dims, x)
+    assert scores.shape == (2, 4)
+    ranks = rank_outliers(params, frozen, dims, x, k=3)
+    assert ranks.shape == (2, 3)
+    assert 3 not in ranks[1]          # pad position never ranked
+
+    edges = np.asarray([[1, 5, 9], [2, 6, 11], [3, 8, 14]], np.int32)
+    pairs = {(a, b) for e in edges for a in e for b in e if a != b}
+    inputs, points = generate_outliers(edges, pairs, genome.num_nodes, rng,
+                                       per_edge=5)
+    assert len(inputs) == len(points)
+    assert len(inputs) > 0
+    hit = outlier_hit_rate(params, frozen, dims, inputs, points, k=3)
+    assert hit.shape == (3,)
+    assert (np.diff(hit) >= 0).all()         # cumulative
+    assert 0.0 <= hit[0] <= hit[-1] <= 1.0
