@@ -37,6 +37,9 @@ K_LIST = (2, 3, 4, 5)
 
 def main():
     import jax
+    # persistent executable cache: repeat bench invocations skip compilation
+    jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from __graft_entry__ import _build_problem, _random_buckets
     from matcha_tpu.data.batcher import BucketedBatcher
