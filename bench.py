@@ -40,6 +40,9 @@ def main():
     # persistent executable cache: repeat bench invocations skip compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("MATCHA_PRNG"):
+        # "rbg" = hardware RNG, much cheaper dropout masks than threefry
+        jax.config.update("jax_default_prng_impl", os.environ["MATCHA_PRNG"])
     import jax.numpy as jnp
     from __graft_entry__ import _build_problem, _random_buckets
     from matcha_tpu.data.batcher import BucketedBatcher

@@ -50,6 +50,12 @@ class ModelDims(NamedTuple):
     feature_dropout: float = 0.2   # ref Code/Modules.py:174
     num_chroms: int = 0
     num_nodes: int = 0          # N (excluding pad id 0)
+    compute_dtype: str = "float32"  # "bfloat16" = mixed precision (f32 master
+                                    # params, f32 softmax/LN stats/loss)
+
+    @property
+    def cdt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
 class FrozenTables(NamedTuple):
@@ -197,17 +203,18 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
     (ref Code/Modules.py:176-189): H = tanh(X @ W1) @ W2 per chromosome.
     In "table" embedding mode the trainable table IS the node table.
     """
+    cdt = dims.cdt
     if "table" in params["embed"]:
-        return params["embed"]["table"].at[0].set(0.0)
-    blocks = [jnp.zeros((1, dims.dim), dtype=jnp.float32)]
+        return params["embed"]["table"].at[0].set(0.0).astype(cdt)
+    blocks = [jnp.zeros((1, dims.dim), dtype=cdt)]
     for c, x in enumerate(frozen.features):
         if train and key is not None:
             key, kd = jax.random.split(key)
-            x = dropout(kd, x.astype(jnp.float32), dims.feature_dropout, train)
+            x = dropout(kd, x.astype(cdt), dims.feature_dropout, train)
         else:
-            x = x.astype(jnp.float32)
+            x = x.astype(cdt)
         ae = params["embed"]["ae"][c]
-        h = jnp.tanh(x @ ae["w1"]) @ ae["w2"]
+        h = jnp.tanh(x @ ae["w1"].astype(cdt)) @ ae["w2"].astype(cdt)
         # feature tables may carry zero row-padding for model-axis sharding;
         # the true row count of a corrcoef table equals its column count
         blocks.append(h[:x.shape[1]])
@@ -244,7 +251,8 @@ def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
         def fn(_):
             s, w = col_start[c], widths[c]
             target = frozen.inter_z[:, s:s + w][x_flat].astype(jnp.float32)
-            recon = linear(params["embed"]["recon"][c], tanh(emb_flat))
+            recon = linear(params["embed"]["recon"][c],
+                           tanh(emb_flat)).astype(jnp.float32)
             return jnp.mean((target - recon) ** 2, axis=-1)
         return fn
 
@@ -283,19 +291,19 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     npm = (x != 0).astype(jnp.float32)[..., None]      # (B, L, 1)
 
     emb = node_table[x]                                # (B, L, d) gather
-    attr = frozen.attr_table[x].astype(jnp.float32)
+    attr = frozen.attr_table[x].astype(dims.cdt)
     attr = linear(params["attr_nn"], attr)
     h = tanh(feed_forward(params["next_w"], emb + attr))
 
     dynamic, static = encoder_layer(
-        params["encoder"], h, npm, dims.n_head, dims.dim, dims.dim,
-        diag_mask=dims.diag_mask, key=k_enc, train=train)
+        params["encoder"], h, npm.astype(h.dtype), dims.n_head, dims.dim,
+        dims.dim, diag_mask=dims.diag_mask, key=k_enc, train=train)
 
     dynamic = layer_norm(params["ln_dynamic"], dynamic)
     static = layer_norm(params["ln_static"], static)
     out = (dynamic - static) ** 2 if dims.diag_mask else dynamic
-    per_pos = pff(params["pff_classifier"], out)       # (B, L, 1)
-    out = (jnp.sum(per_pos * npm, axis=-2)
+    per_pos = pff(params["pff_classifier"], out).astype(jnp.float32)
+    out = (jnp.sum(per_pos * npm, axis=-2)              # logits in f32
            / (jnp.sum(npm, axis=-2) + 1e-15))
 
     rest = ()

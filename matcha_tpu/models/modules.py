@@ -40,9 +40,11 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def linear(p: Params, x):
-    y = x @ p["w"]
+    # weights follow the activation dtype (bf16 compute keeps f32 master
+    # params; casts are no-ops in full f32)
+    y = x @ p["w"].astype(x.dtype)
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 
@@ -57,9 +59,12 @@ def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:
 
 
 def layer_norm(p: Params, x, eps: float = 1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)          # stats in f32 even in bf16 compute
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return (((x32 - mu) * jax.lax.rsqrt(var + eps)
+             * p["g"] + p["b"]).astype(dt))
 
 
 # ----------------------------------------------------------------- dropout
@@ -165,9 +170,9 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
     downstream is the raw input (see encoder_layer).
     """
     b, L, _ = x.shape
-    q = layer_norm(p["ln_q"], x) @ p["wq"]
-    k = layer_norm(p["ln_k"], x) @ p["wk"]
-    v = layer_norm(p["ln_v"], x) @ p["wv"]
+    q = layer_norm(p["ln_q"], x) @ p["wq"].astype(x.dtype)
+    k = layer_norm(p["ln_k"], x) @ p["wk"].astype(x.dtype)
+    v = layer_norm(p["ln_v"], x) @ p["wv"].astype(x.dtype)
     q = q.reshape(b, L, n_head, d_k).transpose(0, 2, 1, 3)
     k = k.reshape(b, L, n_head, d_k).transpose(0, 2, 1, 3)
     v = v.reshape(b, L, n_head, d_v).transpose(0, 2, 1, 3)
@@ -178,9 +183,9 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
     if diag_mask:
         eye = jnp.eye(L, dtype=bool)
         scores = jnp.where(eye[None, None], -1e32, scores)  # ref :443-445
-    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)  # softmax in f32
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, L, n_head * d_v)
     out = linear(p["fc1"], out)
     key, kd = jax.random.split(key) if key is not None else (None, None)
