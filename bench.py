@@ -51,6 +51,8 @@ def main():
     from matcha_tpu.train.runtime import Trainer, TrainSettings
 
     genome, dims, params, frozen = _build_problem(dim=64, n_head=8, chroms=23)
+    if os.environ.get("MATCHA_DTYPE") == "bfloat16":
+        dims = dims._replace(compute_dtype="bfloat16")
     rng = np.random.default_rng(0)
     buckets = _random_buckets(genome, rng, n_edges=max(4 * BATCH, 20_000),
                               k_list=K_LIST)

@@ -19,8 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 
-def measure(n_data: int, n_model: int, batch: int, steps: int = 10):
+def measure(n_data: int, n_model: int, batch: int, steps: int = 10,
+            dim: int = 64, chroms: int = 23):
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
     from __graft_entry__ import _build_problem, _random_buckets
     from matcha_tpu.data.batcher import BucketedBatcher
     from matcha_tpu.parallel.mesh import make_mesh
@@ -28,7 +30,8 @@ def measure(n_data: int, n_model: int, batch: int, steps: int = 10):
     from matcha_tpu.sampler.negative import ChromTable
     from matcha_tpu.train.runtime import Trainer, TrainSettings
 
-    genome, dims, params, frozen = _build_problem(dim=64, n_head=8, chroms=23)
+    genome, dims, params, frozen = _build_problem(dim=dim, n_head=8,
+                                                  chroms=chroms)
     rng = np.random.default_rng(0)
     buckets = _random_buckets(genome, rng, n_edges=max(4 * batch, 8192),
                               k_list=(2, 3, 4, 5))
@@ -53,6 +56,8 @@ def main():
     ap.add_argument("--cpu", nargs="*", type=int, default=None,
                     help="device counts to sweep on the virtual CPU mesh")
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--chroms", type=int, default=23)
     args = ap.parse_args()
 
     if args.cpu:
@@ -63,7 +68,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         results = {}
         for n in args.cpu:
-            rate = measure(n, 1, args.batch * n)   # weak scaling on data axis
+            rate = measure(n, 1, args.batch * n, dim=args.dim, chroms=args.chroms)
             results[n] = rate
             print(f"# {n} devices (data-parallel, batch {args.batch}/device):"
                   f" {rate:,.0f} hyperedges/s")
@@ -71,7 +76,7 @@ def main():
         eff = {n: results[n] / (n * base) for n in results}
         print(json.dumps({"rates": results, "weak_scaling_efficiency": eff}))
     else:
-        rate = measure(1, 1, args.batch)
+        rate = measure(1, 1, args.batch, dim=args.dim, chroms=args.chroms)
         print(json.dumps({"devices": 1, "rate": rate}))
 
 
