@@ -13,9 +13,10 @@ rejection loop (ref: Code/main.py:361-459):
     ``min_distance`` (which for min_distance >= 0 also enforces distinctness,
     ref :410-421) and the candidate is NOT in the membership Bloom filter
     for its size (ref :392)
-  * the reference's loop is unbounded; here a bounded ``lax.while_loop``
-    (``max_trials``) with a structurally-valid fallback gives fixed worst-case
-    latency — statistically indistinguishable at real rejection rates
+  * the reference's loop is unbounded; here ``max_trials`` candidate rounds
+    are proposed IN PARALLEL and the first acceptable one selected (with a
+    structurally-valid fallback) — fixed cost, no sequential dependency,
+    statistically indistinguishable at real rejection rates
 
 With no filter (stage 1 of training, ref Code/main.py:589), negatives are
 copies of the positives, exactly as the reference's empty-set dicts produce.
@@ -78,7 +79,7 @@ def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
 def sample_negatives(key: jax.Array, positives: jnp.ndarray,
                      table: ChromTable, min_distance: int,
                      bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
-                     max_trials: int = 64,
+                     max_trials: int = 8,
                      hard_ratio: float = 1.0) -> jnp.ndarray:
     """Generate (B*neg_num, k) negatives for a (B, k) positive bucket.
 
@@ -109,41 +110,31 @@ def sample_negatives(key: jax.Array, positives: jnp.ndarray,
         lo = jnp.where(hard, lo, 1.0)                # simple: whole range
         hi = jnp.where(hard, hi, float(num_nodes))
 
-    def propose(kr):
-        u = jax.random.uniform(kr, (n, k))
-        cand = (lo + jnp.floor((hi - lo) * u)).astype(jnp.int32)
-        temp = jnp.where(change, cand, orig)
-        temp = jnp.sort(temp, axis=-1)
-        gaps = jnp.diff(temp, axis=-1)
-        ok = jnp.all(gaps > min_distance, axis=-1)   # distinct + gap (ref :410-421)
-        return temp, ok
+    # All trial rounds are proposed IN PARALLEL and the first acceptable one
+    # is selected — no sequential rejection loop, so the cost is fixed and
+    # fully pipelineable (a lax.while_loop's iteration count is set by the
+    # slowest row of the whole batch and every extra iteration re-proposes
+    # all rows).  With per-trial acceptance a ≈ P(gaps ok)·(1 - bloom hit),
+    # P(no trial accepted) = (1-a)^T — at a ≈ 0.9, T=8 gives 1e-8.
+    T = max(1, min(int(max_trials), 16))
+    u = jax.random.uniform(key, (T, n, k))
+    cand = (lo[None] + jnp.floor((hi - lo)[None] * u)).astype(jnp.int32)
+    temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
+    temp = jnp.sort(temp, axis=-1)
+    ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)
+    accept = ok & ~bloom.contains(temp)                 # distinct+gap+miss
+    # first accepted trial; else first structurally-valid; else original
+    def first_true(mask, default):                      # (T, n) -> (n,)
+        idx = jnp.argmax(mask, axis=0)
+        found = jnp.any(mask, axis=0)
+        return idx, found
 
-    def cond(state):
-        key, result, fallback, has_fallback, active, t = state
-        return jnp.logical_and(t < max_trials, jnp.any(active))
-
-    def body(state):
-        key, result, fallback, has_fallback, active, t = state
-        key, kr = jax.random.split(key)
-        temp, ok = propose(kr)
-        miss = ~bloom.contains(temp)
-        accept = active & ok & miss
-        result = jnp.where(accept[:, None], temp, result)
-        # remember a structurally-valid candidate for bounded-loop fallback
-        take_fb = active & ok & ~has_fallback
-        fallback = jnp.where(take_fb[:, None], temp, fallback)
-        has_fallback = has_fallback | take_fb
-        active = active & ~accept
-        return key, result, fallback, has_fallback, active, t + 1
-
-    init = (key, orig, orig, jnp.zeros(n, bool), jnp.ones(n, bool),
-            jnp.asarray(0, jnp.int32))
-    _, result, fallback, has_fallback, active, _ = jax.lax.while_loop(
-        cond, body, init)
-    # rows that never passed the Bloom test: use the last structurally-valid
-    # candidate (possible false-positive membership; vanishing probability)
-    result = jnp.where((active & has_fallback)[:, None], fallback, result)
-    return result
+    acc_idx, acc_found = first_true(accept, 0)
+    ok_idx, ok_found = first_true(ok, 0)
+    pick = jnp.where(acc_found, acc_idx, ok_idx)
+    chosen = jnp.take_along_axis(temp, pick[None, :, None], axis=0)[0]
+    use_orig = ~(acc_found | ok_found)
+    return jnp.where(use_orig[:, None], orig, chosen)
 
 
 def assemble_batch(positives: jnp.ndarray, weights: jnp.ndarray,

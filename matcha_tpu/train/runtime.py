@@ -51,7 +51,7 @@ class TrainSettings(NamedTuple):
     beta: float
     neg_num: int = 3
     min_distance: int = 0
-    max_trials: int = 64
+    max_trials: int = 8
     learning_rate: float = 1e-3
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
     task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)
@@ -127,6 +127,12 @@ class Trainer:
                  blooms: Optional[Dict[int, DeviceBloomFilter]] = None,
                  seed: int = 0, mesh=None):
         self.mesh = mesh
+        # private copy: the epoch fns donate the carried state, and
+        # device_put to a replicated sharding may alias the source buffer as
+        # one shard — either way the caller's param buffers must not end up
+        # aliased into the donated state
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params)
         if mesh is not None:
             # SPMD placement (parallel/mesh.py): batch on "data", node-axis
             # tables on "model"; jit compiles the step over the mesh.
@@ -174,8 +180,9 @@ class Trainer:
                                 node_table, False)
             return TrainState(state.params, state.opt_state, key), aux
 
-        # one epoch = one scanned XLA program over stacked batches
-        @jax.jit
+        # one epoch = one scanned XLA program over stacked batches; the
+        # carried state is donated (params/opt buffers updated in place)
+        @partial(jax.jit, donate_argnums=0)
         def train_epoch_fn(state, stacked):
             return jax.lax.scan(train_step, state, stacked)
 

@@ -1,11 +1,18 @@
-"""Scaling report: hyperedges/s at 1 device vs N devices on whatever mesh is
-available (BASELINE.json requires a 1-chip / 1-host / N-host report; real
-multi-chip hardware is unavailable in this environment, so the report runs on
-the virtual CPU mesh for mechanics and on the single TPU for absolute rate).
+"""Scaling report: hyperedges/s at 1 device vs N devices.
+
+BASELINE.json requires a 1-chip / 1-host / N-host hyperedges/s report.  This
+script produces it when pointed at real multi-chip hardware (run under
+`jax.distributed` on each host; the mesh spans all devices).
+
+CAVEAT: in this development environment only ONE real chip exists.  The
+`--cpu N...` mode runs the same sharded program on forced-host virtual
+devices — that validates the SPMD mechanics end-to-end, but all virtual
+devices share the same physical cores, so wall-clock "efficiency" numbers
+from it are meaningless and must not be quoted as scaling results.
 
 Usage:
   python scripts/scaling_report.py            # real backend (single chip)
-  JAX_NUM_CPU_DEVICES=8 python scripts/scaling_report.py --cpu 1 2 4 8
+  python scripts/scaling_report.py --cpu 1 2 4 8   # mechanics only
 """
 
 import argparse
