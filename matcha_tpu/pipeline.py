@@ -79,6 +79,8 @@ def run_train(config: Config, *, log=print,
     frozen = build_frozen_tables(genome, intra, inter)
     chrom_table = ChromTable.from_genome(genome)
     ckpt = os.path.join(temp_dir, "model.chkpt")
+    from matcha_tpu.train.logging import MetricsLogger
+    mlog = MetricsLogger(os.path.join(temp_dir, "logs"), stdout=log)
 
     # ---- stage 1: reconstruction only (ref :637-643)
     s1 = TrainSettings(alpha=config.stage1_alpha, beta=config.stage1_beta,
@@ -94,7 +96,8 @@ def run_train(config: Config, *, log=print,
                 else config.stage1_epochs,
                 batch_size=config.batch_size,
                 num_batch_per_iter=config.num_batch_per_iter,
-                checkpoint_path=ckpt, log=log, seed=config.seed)
+                checkpoint_path=ckpt, log=log, seed=config.seed,
+                metrics_logger=mlog, stage="stage1_recon")
 
     # ---- between stages: Bloom filters from the unlabeled set (ref :646-667)
     blooms = build_bloom_dict(store.unlabeled,
@@ -112,7 +115,8 @@ def run_train(config: Config, *, log=print,
         else config.stage2_epochs,
         batch_size=config.batch_size,
         num_batch_per_iter=config.num_batch_per_iter,
-        checkpoint_path=ckpt, log=log, seed=config.seed + 1)
+        checkpoint_path=ckpt, log=log, seed=config.seed + 1,
+        metrics_logger=mlog, stage="stage2_classify")
 
     # ---- export artifacts (ref :681-685)
     if embeddings_path is None:

@@ -251,7 +251,8 @@ class Trainer:
     # -------------------------------------------------------------- stage
     def fit(self, train_buckets, test_buckets, *, epochs: int,
             batch_size: int = 96, num_batch_per_iter: int = 1000,
-            checkpoint_path: Optional[str] = None, log=print, seed: int = 0):
+            checkpoint_path: Optional[str] = None, log=print, seed: int = 0,
+            metrics_logger=None, stage: str = "stage"):
         """One stage of the schedule; returns history.  Checkpoints when the
         largest size's validation AUPRC improves (ref Code/main.py:313-322)."""
         batcher = BucketedBatcher(train_buckets, batch_size,
@@ -272,6 +273,8 @@ class Trainer:
             log(f"[epoch {epoch}] valid bce {ev['bce']:.4f} recon "
                 f"{ev['recon']:.4f} auc: {roc} aupr: {aupr}")
             history.append({"train": tr, "valid": ev})
+            if metrics_logger is not None:
+                metrics_logger.log_epoch(stage, epoch, tr, ev)
             val_aupr = ev["metrics"].get(max_k, ev["metrics"]["all"])["auprc"]
             if checkpoint_path and val_aupr >= best:
                 best = val_aupr
