@@ -53,6 +53,8 @@ def main():
     genome, dims, params, frozen = _build_problem(dim=64, n_head=8, chroms=23)
     if os.environ.get("MATCHA_DTYPE") == "bfloat16":
         dims = dims._replace(compute_dtype="bfloat16")
+    if os.environ.get("MATCHA_PALLAS", "1") != "0" and jax.default_backend() != "cpu":
+        dims = dims._replace(use_pallas_attention=True)
     rng = np.random.default_rng(0)
     buckets = _random_buckets(genome, rng, n_edges=max(4 * BATCH, 20_000),
                               k_list=K_LIST)

@@ -48,7 +48,7 @@ class Config:
     # --- TPU-framework knobs (no reference equivalent) ---
     param_dtype: str = "float32"       # parameter dtype
     table_dtype: str = "float32"       # frozen feature/target table dtype ("bfloat16" to halve HBM)
-    max_neg_trials: int = 8            # parallel trial rounds (ref loop is unbounded)
+    max_neg_trials: int = 3            # parallel trial rounds (ref loop is unbounded)
     bloom_error_rate: float = 1e-3     # matches pybloom_live err in ref Code/utils.py:83-85
     mesh_data: int = 1                 # data-parallel axis size
     mesh_model: int = 1                # model-parallel (node-shard) axis size

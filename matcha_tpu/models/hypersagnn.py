@@ -52,6 +52,7 @@ class ModelDims(NamedTuple):
     num_nodes: int = 0          # N (excluding pad id 0)
     compute_dtype: str = "float32"  # "bfloat16" = mixed precision (f32 master
                                     # params, f32 softmax/LN stats/loss)
+    use_pallas_attention: bool = False  # fused VMEM attention kernel (TPU)
 
     @property
     def cdt(self):
@@ -297,7 +298,8 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
 
     dynamic, static = encoder_layer(
         params["encoder"], h, npm.astype(h.dtype), dims.n_head, dims.dim,
-        dims.dim, diag_mask=dims.diag_mask, key=k_enc, train=train)
+        dims.dim, diag_mask=dims.diag_mask, key=k_enc, train=train,
+        use_pallas=dims.use_pallas_attention)
 
     dynamic = layer_norm(params["ln_dynamic"], dynamic)
     static = layer_norm(params["ln_static"], static)

@@ -151,7 +151,7 @@ def mha_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
 
 def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
                 *, diag_mask: bool = True, key=None, drop_rate: float = 0.0,
-                train: bool = False):
+                train: bool = False, use_pallas: bool = False):
     """Self-excluding (diag-masked) self-attention over one hyperedge.
 
     Replicates the reference's masked-softmax (ref Code/Modules.py:424-460,
@@ -170,6 +170,15 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
     downstream is the raw input (see encoder_layer).
     """
     b, L, _ = x.shape
+    if use_pallas and b % 128 == 0:
+        # fused Pallas kernel: LN+qkv+attention+fc1 in one VMEM-resident pass
+        from matcha_tpu.ops.hyperedge_attention import (_pack_ln,
+                                                        hyperedge_attention)
+        out = hyperedge_attention(x, _pack_ln(p), p["wq"], p["wk"], p["wv"],
+                                  p["fc1"]["w"], p["fc1"]["b"], n_head,
+                                  diag_mask, True)
+        key, kd = jax.random.split(key) if key is not None else (None, None)
+        return dropout(kd, out, drop_rate, train)
     q = layer_norm(p["ln_q"], x) @ p["wq"].astype(x.dtype)
     k = layer_norm(p["ln_k"], x) @ p["wk"].astype(x.dtype)
     v = layer_norm(p["ln_v"], x) @ p["wv"].astype(x.dtype)
@@ -205,14 +214,15 @@ def encoder_layer_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
 
 def encoder_layer(p: Params, x, non_pad_mask, n_head: int,
                   d_k: int, d_v: int, *, diag_mask: bool = True, key=None,
-                  train: bool = False):
+                  train: bool = False, use_pallas: bool = False):
     """Returns (dynamic, static).  Parity quirk faithfully preserved: the
     static branch is the *unmodified input* — the reference computes
     fc2/pff_n2 but returns the pre-attention static (Code/Modules.py:611-617).
     Dropouts: 0.3 after attention fc1, 0.4 inside pff_n1 (ref :226-227)."""
     key, ka, kp = jax.random.split(key, 3) if key is not None else (None,) * 3
     dyn = mha_dynamic(p["mha"], x, n_head, d_k, d_v,
-                      diag_mask=diag_mask, key=ka, drop_rate=0.3, train=train)
+                      diag_mask=diag_mask, key=ka, drop_rate=0.3, train=train,
+                      use_pallas=use_pallas)
     dyn = pff(p["pff_n1"], dyn * non_pad_mask, residual=True, key=kp,
               drop_rate=0.4, train=train) * non_pad_mask
     return dyn, x

@@ -46,10 +46,12 @@ def _ln(x, g, b, eps=1e-5):
 # --------------------------------------------------------------------- fwd
 def _fwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref,
                 out_ref, *, L: int, H: int, dk: int, diag_mask: bool):
-    be = x_ref.shape[0]
-    d = x_ref.shape[2]
+    # Position-major block: x_ref is (L, be, d) so "all edges, position i" is
+    # a contiguous 2D slice — Mosaic-friendly (no 4D reshapes, the minor two
+    # dims stay (be, d)/(be, hd)-shaped throughout).
+    _, be, d = x_ref.shape
     hd = H * dk
-    x2 = x_ref[...].reshape(be * L, d)
+    x2 = x_ref[...].reshape(L * be, d)
     ln = ln_ref[...]
 
     q2 = jnp.dot(_ln(x2, ln[0], ln[1]), wq_ref[...],
@@ -59,23 +61,31 @@ def _fwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref,
     v2 = jnp.dot(_ln(x2, ln[4], ln[5]), wv_ref[...],
                  preferred_element_type=jnp.float32).astype(x2.dtype)
 
-    # per-position views: lists of (be, H, dk)
-    q = [q2.reshape(be, L, H, dk)[:, i] for i in range(L)]
-    k = [k2.reshape(be, L, H, dk)[:, i] for i in range(L)]
-    v = [v2.reshape(be, L, H, dk)[:, i] for i in range(L)]
+    q = [q2[i * be:(i + 1) * be] for i in range(L)]      # (be, hd)
+    k = [k2[i * be:(i + 1) * be] for i in range(L)]
+    v = [v2[i * be:(i + 1) * be].astype(jnp.float32) for i in range(L)]
+
+    # Per-head segmented reductions as MXU matmuls against the block
+    # indicator seg (hd, H): seg[c, h] = [c // dk == h].  score = prod @ seg
+    # sums each head's dk-column block; a @ seg.T broadcasts per-head attn
+    # weights back across their columns.  Keeps every tensor 2D (Mosaic
+    # rejects lane-splitting reshapes like (be,512)->(be,8,64)).
+    col = jax.lax.broadcasted_iota(jnp.int32, (hd, H), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (hd, H), 1)
+    seg = (col // dk == head).astype(jnp.float32)
 
     inv_temp = 1.0 / math.sqrt(dk)
     out_rows = []
     for i in range(L):
-        # scores s[i][j]: (be, H) f32
         s = []
         for j in range(L):
-            sij = jnp.sum((q[i] * k[j]).astype(jnp.float32), axis=-1)
             if diag_mask and i == j:
-                sij = jnp.full_like(sij, -1e32)
-            else:
-                sij = sij * inv_temp
-            s.append(sij)
+                s.append(jnp.full((be, H), -1e32, dtype=jnp.float32))
+                continue
+            prod = (q[i] * k[j]).astype(jnp.float32)     # (be, hd)
+            sij = jnp.dot(prod, seg,
+                          preferred_element_type=jnp.float32)  # (be, H)
+            s.append(sij * inv_temp)
         m = s[0]
         for j in range(1, L):
             m = jnp.maximum(m, s[j])
@@ -84,17 +94,18 @@ def _fwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref,
         for j in range(1, L):
             tot = tot + e[j]
         inv = 1.0 / tot
-        acc = jnp.zeros((be, H, dk), dtype=jnp.float32)
+        acc = jnp.zeros((be, hd), dtype=jnp.float32)
         for j in range(L):
-            a = (e[j] * inv)[:, :, None]
-            acc = acc + a * v[j].astype(jnp.float32)
-        out_rows.append(acc.astype(x2.dtype).reshape(be, hd))
+            a_full = jnp.dot(e[j] * inv, seg.T,
+                             preferred_element_type=jnp.float32)  # (be, hd)
+            acc = acc + a_full * v[j]
+        out_rows.append(acc.astype(x2.dtype))
 
-    attn_out = jnp.stack(out_rows, axis=1).reshape(be * L, hd)
+    attn_out = jnp.concatenate(out_rows, axis=0)          # (L*be, hd)
     y = (jnp.dot(attn_out, fw_ref[...],
                  preferred_element_type=jnp.float32)
          + fb_ref[...].astype(jnp.float32))
-    out_ref[...] = y.astype(x2.dtype).reshape(be, L, d)
+    out_ref[...] = y.astype(x2.dtype).reshape(L, be, d)
 
 
 def _pack_ln(p) -> jnp.ndarray:
@@ -119,11 +130,12 @@ def _fwd_pallas(x, ln, wq, wk, wv, fw, fb, *, n_head: int, diag_mask: bool,
     be = _block_edges(E, x.dtype)
     grid = (E // be,)
     kern = partial(_fwd_kernel, L=L, H=n_head, dk=dk, diag_mask=diag_mask)
-    return pl.pallas_call(
+    x_t = x.transpose(1, 0, 2)                     # (L, E, d) position-major
+    out_t = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((be, L, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((L, be, d), lambda i: (0, i, 0)),
             pl.BlockSpec((6, d), lambda i: (0, 0)),
             pl.BlockSpec(wq.shape, lambda i: (0, 0)),
             pl.BlockSpec(wk.shape, lambda i: (0, 0)),
@@ -131,10 +143,214 @@ def _fwd_pallas(x, ln, wq, wk, wv, fw, fb, *, n_head: int, diag_mask: bool,
             pl.BlockSpec(fw.shape, lambda i: (0, 0)),
             pl.BlockSpec(fb.shape, lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((be, L, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((E, L, d), x.dtype),
+        out_specs=pl.BlockSpec((L, be, d), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, E, d), x.dtype),
         interpret=interpret,
-    )(x, ln, wq, wk, wv, fw, fb)
+    )(x_t, ln, wq, wk, wv, fw, fb)
+    return out_t.transpose(1, 0, 2)
+
+
+# --------------------------------------------------------------------- bwd
+def _bwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref, g_ref,
+                gx_ref, gln_ref, gwq_ref, gwk_ref, gwv_ref, gfw_ref, gfb_ref,
+                *, L: int, H: int, dk: int, diag_mask: bool):
+    """Fused backward: recomputes the forward in-VMEM (flash style) and
+    produces input grads (blocked) + weight/LN grads (accumulated across the
+    grid in revisited output buffers)."""
+    _, be, d = x_ref.shape
+    hd = H * dk
+    f32 = jnp.float32
+    x2 = x_ref[...].reshape(L * be, d)
+    g_y = g_ref[...].reshape(L * be, d).astype(f32)
+    ln = ln_ref[...]
+
+    def ln_fwd(x, gpar, bpar, eps=1e-5):
+        x32 = x.astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        inv_sigma = jax.lax.rsqrt(var + eps)
+        xhat = (x32 - mu) * inv_sigma
+        return (xhat * gpar + bpar).astype(x.dtype), xhat, inv_sigma
+
+    xq, xhat_q, is_q = ln_fwd(x2, ln[0], ln[1])
+    xk, xhat_k, is_k = ln_fwd(x2, ln[2], ln[3])
+    xv, xhat_v, is_v = ln_fwd(x2, ln[4], ln[5])
+
+    q2 = jnp.dot(xq, wq_ref[...], preferred_element_type=f32).astype(x2.dtype)
+    k2 = jnp.dot(xk, wk_ref[...], preferred_element_type=f32).astype(x2.dtype)
+    v2 = jnp.dot(xv, wv_ref[...], preferred_element_type=f32).astype(x2.dtype)
+    q = [q2[i * be:(i + 1) * be].astype(f32) for i in range(L)]
+    k = [k2[i * be:(i + 1) * be].astype(f32) for i in range(L)]
+    v = [v2[i * be:(i + 1) * be].astype(f32) for i in range(L)]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (hd, H), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (hd, H), 1)
+    seg = (col // dk == head).astype(f32)
+    inv_temp = 1.0 / math.sqrt(dk)
+
+    # forward softmax recompute, saving attn weights a[i][j] (be, H)
+    a = [[None] * L for _ in range(L)]
+    out_rows = []
+    for i in range(L):
+        s = []
+        for j in range(L):
+            if diag_mask and i == j:
+                s.append(jnp.full((be, H), -1e32, dtype=f32))
+                continue
+            prod = q[i] * k[j]
+            s.append(jnp.dot(prod, seg, preferred_element_type=f32)
+                     * inv_temp)
+        m = s[0]
+        for j in range(1, L):
+            m = jnp.maximum(m, s[j])
+        e = [jnp.exp(sj - m) for sj in s]
+        tot = e[0]
+        for j in range(1, L):
+            tot = tot + e[j]
+        inv = 1.0 / tot
+        acc = jnp.zeros((be, hd), dtype=f32)
+        for j in range(L):
+            a[i][j] = e[j] * inv
+            acc = acc + jnp.dot(a[i][j], seg.T,
+                                preferred_element_type=f32) * v[j]
+        out_rows.append(acc)
+    attn_out = jnp.concatenate(out_rows, axis=0)         # (L*be, hd) f32
+
+    # fc1 backward
+    gfb_c = jnp.sum(g_y, axis=0, keepdims=True)          # (1, d)
+    gfw_c = jax.lax.dot_general(attn_out, g_y,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)   # (hd, d)
+    g_attn = jax.lax.dot_general(g_y, fw_ref[...].astype(f32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)  # (L*be, hd)
+
+    # attention backward
+    gq = [jnp.zeros((be, hd), f32) for _ in range(L)]
+    gk = [jnp.zeros((be, hd), f32) for _ in range(L)]
+    gv = [jnp.zeros((be, hd), f32) for _ in range(L)]
+    for i in range(L):
+        g_acc = g_attn[i * be:(i + 1) * be]              # (be, hd)
+        ga = []
+        for j in range(L):
+            if diag_mask and i == j:
+                ga.append(jnp.zeros((be, H), f32))
+                continue
+            g_a_full = g_acc * v[j]
+            ga.append(jnp.dot(g_a_full, seg, preferred_element_type=f32))
+            gv[j] = gv[j] + jnp.dot(a[i][j], seg.T,
+                                    preferred_element_type=f32) * g_acc
+        dot_i = jnp.zeros((be, H), f32)
+        for j in range(L):
+            dot_i = dot_i + a[i][j] * ga[j]
+        for j in range(L):
+            if diag_mask and i == j:
+                continue
+            g_s = a[i][j] * (ga[j] - dot_i) * inv_temp   # (be, H)
+            g_s_full = jnp.dot(g_s, seg.T, preferred_element_type=f32)
+            gq[i] = gq[i] + g_s_full * k[j]
+            gk[j] = gk[j] + g_s_full * q[i]
+    g_q2 = jnp.concatenate(gq, axis=0)                   # (L*be, hd)
+    g_k2 = jnp.concatenate(gk, axis=0)
+    g_v2 = jnp.concatenate(gv, axis=0)
+
+    # projections backward
+    def proj_bwd(g_p, w_ref, x_in):
+        gw = jax.lax.dot_general(x_in.astype(f32), g_p,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)   # (d, hd)
+        gx = jax.lax.dot_general(g_p, w_ref[...].astype(f32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)   # (L*be, d)
+        return gw, gx
+
+    gwq_c, g_xq = proj_bwd(g_q2, wq_ref, xq)
+    gwk_c, g_xk = proj_bwd(g_k2, wk_ref, xk)
+    gwv_c, g_xv = proj_bwd(g_v2, wv_ref, xv)
+
+    # LayerNorm backward x3
+    def ln_bwd(g_out, xhat, inv_sigma, gpar):
+        gg = jnp.sum(g_out * xhat, axis=0, keepdims=True)      # (1, d)
+        gb = jnp.sum(g_out, axis=0, keepdims=True)
+        gxh = g_out * gpar
+        gx = inv_sigma * (gxh
+                          - jnp.mean(gxh, axis=-1, keepdims=True)
+                          - xhat * jnp.mean(gxh * xhat, axis=-1,
+                                            keepdims=True))
+        return gx, gg, gb
+
+    gx_q, ggq, gbq = ln_bwd(g_xq, xhat_q, is_q, ln[0])
+    gx_k, ggk, gbk = ln_bwd(g_xk, xhat_k, is_k, ln[2])
+    gx_v, ggv, gbv = ln_bwd(g_xv, xhat_v, is_v, ln[4])
+    gx = gx_q + gx_k + gx_v
+    gx_ref[...] = gx.astype(x2.dtype).reshape(L, be, d)
+
+    gln_c = jnp.concatenate([ggq, gbq, ggk, gbk, ggv, gbv], axis=0)  # (6, d)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gln_ref[...] = jnp.zeros_like(gln_ref)
+        gwq_ref[...] = jnp.zeros_like(gwq_ref)
+        gwk_ref[...] = jnp.zeros_like(gwk_ref)
+        gwv_ref[...] = jnp.zeros_like(gwv_ref)
+        gfw_ref[...] = jnp.zeros_like(gfw_ref)
+        gfb_ref[...] = jnp.zeros_like(gfb_ref)
+
+    gln_ref[...] += gln_c
+    gwq_ref[...] += gwq_c
+    gwk_ref[...] += gwk_c
+    gwv_ref[...] += gwv_c
+    gfw_ref[...] += gfw_c
+    gfb_ref[...] += gfb_c[0]
+
+
+def _bwd_pallas(x, ln, wq, wk, wv, fw, fb, g, *, n_head: int,
+                diag_mask: bool, interpret: bool = False):
+    E, L, d = x.shape
+    dk = wq.shape[1] // n_head
+    be = max(_block_edges(E, jnp.float32) // 2, 1)  # bwd holds ~2x live data
+    grid = (E // be,)
+    kern = partial(_bwd_kernel, L=L, H=n_head, dk=dk, diag_mask=diag_mask)
+    x_t = x.transpose(1, 0, 2)
+    g_t = g.transpose(1, 0, 2)
+    f32 = jnp.float32
+    gx_t, gln, gwq, gwk, gwv, gfw, gfb = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, be, d), lambda i: (0, i, 0)),
+            pl.BlockSpec((6, d), lambda i: (0, 0)),
+            pl.BlockSpec(wq.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wk.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fw.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fb.shape, lambda i: (0,)),
+            pl.BlockSpec((L, be, d), lambda i: (0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, be, d), lambda i: (0, i, 0)),
+            pl.BlockSpec((6, d), lambda i: (0, 0)),       # accumulated
+            pl.BlockSpec(wq.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wk.shape, lambda i: (0, 0)),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fw.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fb.shape, lambda i: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, E, d), x.dtype),
+            jax.ShapeDtypeStruct((6, d), f32),
+            jax.ShapeDtypeStruct(wq.shape, f32),
+            jax.ShapeDtypeStruct(wk.shape, f32),
+            jax.ShapeDtypeStruct(wv.shape, f32),
+            jax.ShapeDtypeStruct(fw.shape, f32),
+            jax.ShapeDtypeStruct(fb.shape, f32),
+        ],
+        interpret=interpret,
+    )(x_t, ln, wq, wk, wv, fw, fb, g_t)
+    return (gx_t.transpose(1, 0, 2), gln.astype(ln.dtype),
+            gwq.astype(wq.dtype), gwk.astype(wk.dtype),
+            gwv.astype(wv.dtype), gfw.astype(fw.dtype),
+            gfb.astype(fb.dtype))
 
 
 # ------------------------------------------------------------ XLA reference
@@ -184,9 +400,10 @@ def _vjp_fwd(x, ln, wq, wk, wv, fw, fb, n_head, diag_mask, use_pallas):
 
 def _vjp_bwd(n_head, diag_mask, use_pallas, res, g):
     x, ln, wq, wk, wv, fw, fb = res
-    # recompute-based backward through the XLA reference formulation; the
-    # big 512-wide intermediates are rematerialized by XLA fusion rather
-    # than loaded from HBM residuals
+    if use_pallas:
+        return _bwd_pallas(x, ln, wq, wk, wv, fw, fb, g, n_head=n_head,
+                           diag_mask=diag_mask)
+    # recompute-based backward through the XLA reference formulation
     def f(x, ln, wq, wk, wv, fw, fb):
         return _fwd_xla(x, ln, wq, wk, wv, fw, fb, n_head=n_head,
                         diag_mask=diag_mask)

@@ -51,7 +51,7 @@ class TrainSettings(NamedTuple):
     beta: float
     neg_num: int = 3
     min_distance: int = 0
-    max_trials: int = 8
+    max_trials: int = 3
     learning_rate: float = 1e-3
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
     task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)

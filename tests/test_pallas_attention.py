@@ -65,6 +65,39 @@ def test_custom_vjp_grads(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_bwd_matches_xla_vjp(rng):
+    from matcha_tpu.ops.hyperedge_attention import _bwd_pallas
+    p, x, args = _setup(rng, 64, 5)
+    g = jnp.asarray(rng.standard_normal((64, 5, D)), jnp.float32)
+
+    def f(x, *a):
+        return _fwd_xla(x, *a, n_head=H, diag_mask=True)
+
+    _, vjp = jax.vjp(f, x, *args)
+    ref = vjp(g)
+    got = _bwd_pallas(x, *args, g, n_head=H, diag_mask=True, interpret=True)
+    names = ["gx", "gln", "gwq", "gwk", "gwv", "gfw", "gfb"]
+    for name, a, b in zip(names, got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
+def test_pallas_bwd_no_diag(rng):
+    from matcha_tpu.ops.hyperedge_attention import _bwd_pallas
+    p, x, args = _setup(rng, 32, 3)
+    g = jnp.asarray(rng.standard_normal((32, 3, D)), jnp.float32)
+
+    def f(x, *a):
+        return _fwd_xla(x, *a, n_head=H, diag_mask=False)
+
+    _, vjp = jax.vjp(f, x, *args)
+    ref = vjp(g)
+    got = _bwd_pallas(x, *args, g, n_head=H, diag_mask=False, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_bf16(rng):
     p, x, args = _setup(rng, 64, 4)
     xb = x.astype(jnp.bfloat16)
