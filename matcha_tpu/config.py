@@ -48,6 +48,8 @@ class Config:
     # --- TPU-framework knobs (no reference equivalent) ---
     param_dtype: str = "float32"       # parameter dtype
     table_dtype: str = "float32"       # frozen feature/target table dtype ("bfloat16" to halve HBM)
+    compute_dtype: str = "float32"     # activation/matmul dtype ("bfloat16" = mixed precision)
+    use_pallas_attention: str = "auto" # "auto" (TPU only) | "on" | "off"
     max_neg_trials: int = 3            # parallel trial rounds (ref loop is unbounded)
     bloom_error_rate: float = 1e-3     # matches pybloom_live err in ref Code/utils.py:83-85
     mesh_data: int = 1                 # data-parallel axis size

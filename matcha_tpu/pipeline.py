@@ -71,9 +71,15 @@ def run_train(config: Config, *, log=print,
         neg_num=config.neg_num, seed=config.seed)
     log(f"train sizes: {store.train_sizes()}")
 
+    if config.use_pallas_attention == "auto":
+        use_pallas = jax.default_backend() != "cpu"   # TPU (incl. axon plugin)
+    else:
+        use_pallas = config.use_pallas_attention == "on"
     dims = ModelDims(dim=config.embed_dim, n_head=config.n_head,
                      num_chroms=genome.num_chroms,
-                     num_nodes=genome.num_nodes)
+                     num_nodes=genome.num_nodes,
+                     compute_dtype=config.compute_dtype,
+                     use_pallas_attention=use_pallas)
     chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
     params = init_model(jax.random.PRNGKey(config.seed), dims, chrom_sizes)
     frozen = build_frozen_tables(genome, intra, inter)
