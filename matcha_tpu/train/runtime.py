@@ -252,7 +252,8 @@ class Trainer:
     def fit(self, train_buckets, test_buckets, *, epochs: int,
             batch_size: int = 96, num_batch_per_iter: int = 1000,
             checkpoint_path: Optional[str] = None, log=print, seed: int = 0,
-            metrics_logger=None, stage: str = "stage"):
+            metrics_logger=None, stage: str = "stage",
+            profile_dir: Optional[str] = None):
         """One stage of the schedule; returns history.  Checkpoints when the
         largest size's validation AUPRC improves (ref Code/main.py:313-322)."""
         batcher = BucketedBatcher(train_buckets, batch_size,
@@ -261,7 +262,13 @@ class Trainer:
         best = 0.0
         history = []
         for epoch in range(epochs):
-            tr = self.train_epoch(batcher)
+            if profile_dir is not None and epoch == 1:
+                # trace the first steady-state epoch (epoch 0 pays compile)
+                from matcha_tpu.utils import profile_trace
+                with profile_trace(profile_dir):
+                    tr = self.train_epoch(batcher)
+            else:
+                tr = self.train_epoch(batcher)
             ev = self.eval_epoch(test_buckets, batch_size=batch_size,
                                  seed=seed + epoch)
             roc, aupr, acc = format_metrics(tr["metrics"])
