@@ -134,19 +134,45 @@ def run_train(config: Config, *, log=print,
     return trainer2, history, store
 
 
+def run_pretrain(config: Config, *, walk_mode: str = "hyper",
+                 output: Optional[str] = None, log=print) -> np.ndarray:
+    """Walk + skip-gram node-embedding pretraining over the parsed clusters
+    (the legacy walk path, ref History_version/Code/main_SPRITE.py:640-765).
+    Writes ``walk_embeddings.npy``; feed it to
+    ``init_model(embedding_mode="table", table_init=...)``."""
+    from matcha_tpu.data.clusters import clusters_to_list
+    from matcha_tpu.walks.pretrain import pretrain_node_embeddings
+    genome = GenomeBins.load(config.temp_dir)
+    flat, offsets = load_edge_list(config.temp_dir)
+    edges = clusters_to_list(flat, offsets)
+    emb, losses = pretrain_node_embeddings(
+        genome.num_nodes, edges, config.embed_dim, walk_mode=walk_mode,
+        seed=config.seed)
+    log(f"skip-gram losses per epoch: {losses}")
+    if output is None:
+        output = os.path.join(config.temp_dir, "walk_embeddings.npy")
+    np.save(output, emb)
+    return emb
+
+
 def main(argv=None):
     import argparse
     from matcha_tpu.config import load_config
     p = argparse.ArgumentParser(prog="matcha_tpu",
                                 description="TPU-native MATCHA pipeline")
-    p.add_argument("stage", choices=["process", "kmers", "train", "all"])
+    p.add_argument("stage",
+                   choices=["process", "kmers", "train", "pretrain", "all"])
     p.add_argument("-c", "--config", default=None, help="config.JSON path")
+    p.add_argument("--walk-mode", choices=["hyper", "clique"],
+                   default="hyper")
     args = p.parse_args(argv)
     config = load_config(args.config)
     if args.stage in ("process", "all"):
         run_process(config)
     if args.stage in ("kmers", "all"):
         run_generate_kmers(config)
+    if args.stage == "pretrain":
+        run_pretrain(config, walk_mode=args.walk_mode)
     if args.stage in ("train", "all"):
         run_train(config)
 

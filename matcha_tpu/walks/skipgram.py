@@ -55,6 +55,8 @@ def _sgns_epoch(emb_in, emb_out, pairs, neg_table_cdf, key, *,
                 neg_num: int = 5, lr: float = 0.025):
     """One scanned pass of SGD updates over (B, m, 2) minibatched pairs."""
 
+    vocab = emb_in.shape[0]
+
     def step(carry, batch):
         emb_in, emb_out, key = carry
         key, kn = jax.random.split(key)
@@ -78,6 +80,19 @@ def _sgns_epoch(emb_in, emb_out, pairs, neg_table_cdf, key, *,
         grad_pos = g_pos[:, None] * v_in
         grad_neg = g_neg[..., None] * v_in[:, None, :]
 
+        # Normalize each row's accumulated update by its occurrence count in
+        # the minibatch: scatter-add otherwise sums hundreds of per-sample
+        # steps on small vocabularies and diverges (sequential word2vec SGD
+        # takes one lr-sized step per occurrence, interleaved with re-reads).
+        cnt_in = jax.ops.segment_sum(jnp.ones(m), centers,
+                                     num_segments=vocab)
+        out_idx = jnp.concatenate([contexts, negs.reshape(-1)])
+        cnt_out = jax.ops.segment_sum(jnp.ones(out_idx.shape[0]), out_idx,
+                                      num_segments=vocab)
+        grad_in = grad_in / cnt_in[centers][:, None]
+        grad_pos = grad_pos / cnt_out[contexts][:, None]
+        grad_neg = grad_neg / cnt_out[negs][..., None]
+
         emb_in = emb_in.at[centers].add(-lr * grad_in)
         emb_out = emb_out.at[contexts].add(-lr * grad_pos)
         emb_out = emb_out.at[negs.reshape(-1)].add(
@@ -94,7 +109,7 @@ def _sgns_epoch(emb_in, emb_out, pairs, neg_table_cdf, key, *,
 
 def train_skipgram(walks: np.ndarray, vocab: int, dim: int, *,
                    window: int = 10, neg_num: int = 5, epochs: int = 1,
-                   lr: float = 0.025, batch: int = 4096,
+                   lr: float = 0.1, batch: int = 4096,
                    seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Train SGNS over walks -> (emb_in (V, d), mean loss per epoch)."""
     rng = np.random.default_rng(seed)

@@ -111,7 +111,7 @@ def test_skipgram_learns_community_structure():
         members = np.flatnonzero(comm == c)
         walks.append(rng.choice(members, 20))
     walks = np.asarray(walks)
-    emb, losses = train_skipgram(walks, vocab, 16, window=3, epochs=3,
+    emb, losses = train_skipgram(walks, vocab, 16, window=3, epochs=6,
                                  batch=512, seed=0)
     assert losses[-1] < losses[0]
     emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-9)
