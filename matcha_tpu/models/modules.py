@@ -170,7 +170,7 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
     downstream is the raw input (see encoder_layer).
     """
     b, L, _ = x.shape
-    if use_pallas and b % 128 == 0:
+    if use_pallas and b % 128 == 0 and jax.default_backend() != "cpu":
         # fused Pallas kernel: LN+qkv+attention+fc1 in one VMEM-resident pass
         from matcha_tpu.ops.hyperedge_attention import (_pack_ln,
                                                         hyperedge_attention)
