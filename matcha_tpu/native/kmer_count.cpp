@@ -23,97 +23,39 @@
 
 namespace {
 
-constexpr int kMaxK = 8;
+constexpr int kMaxK = 5;
 
-struct Key {
-  int32_t v[kMaxK];
-  bool operator==(const Key& o) const {
-    return std::memcmp(v, o.v, sizeof(v)) == 0;
-  }
-};
+// k-mers are packed into one unsigned 128-bit key (25 bits per node id,
+// k <= 5) so counting is a sort + run-length pass: enumeration appends to
+// per-thread vectors, each thread sorts + RLE-compresses its share, and the
+// sorted runs are merged.  Sorting beats hash-map inserts here: enumeration
+// output is huge and mostly-distinct, so open addressing is a cache miss per
+// insert, while sorted runs stream.
+using Key128 = unsigned __int128;
 
-inline uint64_t hash_key(const Key& key, int k) {
-  uint64_t h = 1469598103934665603ull;  // FNV-1a over k ids
+inline Key128 pack(const int32_t* v, int k) {
+  Key128 key = 0;
   for (int i = 0; i < k; ++i) {
-    h ^= static_cast<uint64_t>(static_cast<uint32_t>(key.v[i]));
-    h *= 1099511628211ull;
+    key = (key << 25) | static_cast<uint32_t>(v[i]);
   }
-  h ^= h >> 33;
-  h *= 0xff51afd7ed558ccdull;
-  h ^= h >> 33;
-  return h;
+  return key;
 }
 
-// Open-addressing (linear probing) hash map from Key -> count.
-class CountMap {
- public:
-  explicit CountMap(int k) : k_(k) { rehash(1 << 16); }
-
-  void add(const Key& key, int64_t c) {
-    if (size_ * 10 >= cap_ * 7) rehash(cap_ * 2);
-    uint64_t mask = cap_ - 1;
-    uint64_t i = hash_key(key, k_) & mask;
-    while (true) {
-      if (counts_[i] == 0) {
-        keys_[i] = key;
-        counts_[i] = c;
-        ++size_;
-        return;
-      }
-      if (keys_[i] == key) {
-        counts_[i] += c;
-        return;
-      }
-      i = (i + 1) & mask;
-    }
+inline void unpack(Key128 key, int k, int32_t* out) {
+  for (int i = k - 1; i >= 0; --i) {
+    out[i] = static_cast<int32_t>(static_cast<uint32_t>(key) & 0x1FFFFFFu);
+    key >>= 25;
   }
+}
 
-  template <typename Fn>
-  void for_each(Fn&& fn) const {
-    for (uint64_t i = 0; i < cap_; ++i) {
-      if (counts_[i] != 0) fn(keys_[i], counts_[i]);
-    }
-  }
-
-  uint64_t size() const { return size_; }
-
- private:
-  void rehash(uint64_t new_cap) {
-    std::vector<Key> old_keys = std::move(keys_);
-    std::vector<int64_t> old_counts = std::move(counts_);
-    uint64_t old_cap = cap_;
-    cap_ = new_cap;
-    keys_.assign(cap_, Key{});
-    counts_.assign(cap_, 0);
-    size_ = 0;
-    uint64_t mask = cap_ - 1;
-    for (uint64_t i = 0; i < old_cap; ++i) {
-      if (old_counts[i] == 0) continue;
-      uint64_t j = hash_key(old_keys[i], k_) & mask;
-      while (counts_[j] != 0) j = (j + 1) & mask;
-      keys_[j] = old_keys[i];
-      counts_[j] = old_counts[i];
-      ++size_;
-    }
-  }
-
-  int k_;
-  uint64_t cap_ = 0;
-  uint64_t size_ = 0;
-  std::vector<Key> keys_;
-  std::vector<int64_t> counts_;
-};
-
-// Enumerate gap-filtered k-subsets of one cluster into `map`.
+// Enumerate gap-filtered k-subsets of one cluster into `out` (packed keys).
 // Members are sorted ascending and distinct.  A subset qualifies iff every
-// adjacent pair in it differs by more than min_distance; since members are
-// sorted, we enumerate with a classic combination odometer but prune branches
-// whose last chosen element is too close to the candidate.
+// adjacent pair in it differs by more than min_distance; enumeration is a
+// combination odometer with gap pruning.
 void enumerate_cluster(const int32_t* members, int n, int k, int min_distance,
-                       CountMap& map) {
+                       std::vector<Key128>& out) {
   int idx[kMaxK];
-  Key key{};
-  // depth-first combination enumeration with gap pruning
+  int32_t cur[kMaxK];
   int depth = 0;
   idx[0] = 0;
   while (depth >= 0) {
@@ -123,19 +65,73 @@ void enumerate_cluster(const int32_t* members, int n, int k, int min_distance,
       continue;
     }
     int32_t cand = members[idx[depth]];
-    if (depth > 0 && cand - key.v[depth - 1] <= min_distance) {
+    if (depth > 0 && cand - cur[depth - 1] <= min_distance) {
       ++idx[depth];
       continue;
     }
-    key.v[depth] = cand;
+    cur[depth] = cand;
     if (depth == k - 1) {
-      map.add(key, 1);
+      out.push_back(pack(cur, k));
       ++idx[depth];
     } else {
       ++depth;
       idx[depth] = idx[depth - 1] + 1;
     }
   }
+}
+
+struct Run {
+  std::vector<Key128> keys;    // sorted unique
+  std::vector<int64_t> counts;
+};
+
+// sort + run-length encode a raw key vector (in place, then compress)
+Run rle_sorted(std::vector<Key128>&& raw) {
+  std::sort(raw.begin(), raw.end());
+  Run r;
+  r.keys.reserve(raw.size() / 2 + 1);
+  r.counts.reserve(raw.size() / 2 + 1);
+  size_t i = 0;
+  while (i < raw.size()) {
+    size_t j = i + 1;
+    while (j < raw.size() && raw[j] == raw[i]) ++j;
+    r.keys.push_back(raw[i]);
+    r.counts.push_back(static_cast<int64_t>(j - i));
+    i = j;
+  }
+  return r;
+}
+
+Run merge_runs(const Run& a, const Run& b) {
+  Run out;
+  out.keys.reserve(a.keys.size() + b.keys.size());
+  out.counts.reserve(a.keys.size() + b.keys.size());
+  size_t i = 0, j = 0;
+  while (i < a.keys.size() && j < b.keys.size()) {
+    if (a.keys[i] < b.keys[j]) {
+      out.keys.push_back(a.keys[i]);
+      out.counts.push_back(a.counts[i]);
+      ++i;
+    } else if (b.keys[j] < a.keys[i]) {
+      out.keys.push_back(b.keys[j]);
+      out.counts.push_back(b.counts[j]);
+      ++j;
+    } else {
+      out.keys.push_back(a.keys[i]);
+      out.counts.push_back(a.counts[i] + b.counts[j]);
+      ++i;
+      ++j;
+    }
+  }
+  for (; i < a.keys.size(); ++i) {
+    out.keys.push_back(a.keys[i]);
+    out.counts.push_back(a.counts[i]);
+  }
+  for (; j < b.keys.size(); ++j) {
+    out.keys.push_back(b.keys[j]);
+    out.counts.push_back(b.counts[j]);
+  }
+  return out;
 }
 
 struct Result {
@@ -155,17 +151,25 @@ int64_t matcha_count_kmers(const int32_t* flat, const int64_t* offsets,
   if (k > kMaxK) return -1;
 
   unsigned n_threads = std::max(1u, std::thread::hardware_concurrency());
-  std::vector<CountMap> maps;
-  maps.reserve(n_threads);
-  for (unsigned t = 0; t < n_threads; ++t) maps.emplace_back(k);
+  std::vector<Run> runs(n_threads);
 
   auto worker = [&](unsigned tid) {
-    CountMap& map = maps[tid];
+    std::vector<Key128> raw;
     for (int64_t c = tid; c < num_clusters; c += n_threads) {
       int n = static_cast<int>(offsets[c + 1] - offsets[c]);
       if (n < k || n > max_cluster_size) continue;
-      enumerate_cluster(flat + offsets[c], n, k, min_distance, map);
+      enumerate_cluster(flat + offsets[c], n, k, min_distance, raw);
+      // bound memory: compress periodically (counts merge at the end)
+      if (raw.size() >= (64u << 20)) {
+        Run part = rle_sorted(std::move(raw));
+        raw.clear();
+        runs[tid] = runs[tid].keys.empty() ? std::move(part)
+                                           : merge_runs(runs[tid], part);
+      }
     }
+    Run part = rle_sorted(std::move(raw));
+    runs[tid] = runs[tid].keys.empty() ? std::move(part)
+                                       : merge_runs(runs[tid], part);
   };
   {
     std::vector<std::thread> threads;
@@ -174,21 +178,29 @@ int64_t matcha_count_kmers(const int32_t* flat, const int64_t* offsets,
     for (auto& th : threads) th.join();
   }
 
-  // merge thread-local maps into maps[0]
-  for (unsigned t = 1; t < n_threads; ++t) {
-    maps[t].for_each([&](const Key& key, int64_t c) { maps[0].add(key, c); });
+  // parallel pairwise merge of the per-thread sorted runs
+  for (unsigned stride = 1; stride < n_threads; stride *= 2) {
+    std::vector<std::thread> threads;
+    for (unsigned t = 0; t + stride < n_threads; t += 2 * stride) {
+      threads.emplace_back([&, t] {
+        runs[t] = merge_runs(runs[t], runs[t + stride]);
+        runs[t + stride] = Run{};
+      });
+    }
+    for (auto& th : threads) th.join();
   }
+  Run& final_run = runs[0];
 
   auto* result = new Result;
   result->k = k;
-  result->kmers.reserve(maps[0].size() * k);
-  result->freqs.reserve(maps[0].size());
-  maps[0].for_each([&](const Key& key, int64_t c) {
-    for (int i = 0; i < k; ++i) result->kmers.push_back(key.v[i]);
-    result->freqs.push_back(c);
-  });
+  size_t n_out = final_run.keys.size();
+  result->kmers.resize(n_out * k);
+  result->freqs = std::move(final_run.counts);
+  for (size_t i = 0; i < n_out; ++i) {
+    unpack(final_run.keys[i], k, result->kmers.data() + i * k);
+  }
   *out_handle = result;
-  return static_cast<int64_t>(result->freqs.size());
+  return static_cast<int64_t>(n_out);
 }
 
 void matcha_kmer_result_fill(void* handle, int32_t* kmers_out,
