@@ -93,11 +93,7 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
             bce = jnp.mean((pred - y) ** 2)
             n_pos = pos.shape[0]
             diff = pred[:n_pos, 0] - pred[n_pos:2 * n_pos, 0]
-            pair_pred = jax.nn.sigmoid(diff)
-            pair_y = jnp.ones_like(diff)        # positive should outrank
-            preds.append(pair_pred)
-            ys.append(pair_y)
-            sizes.append(jnp.full(n_pos, k, dtype=jnp.int32))
+            preds.append(jax.nn.sigmoid(diff))
         else:
             x, y, ww = assemble_batch(pos, w, neg)
             logits, recon = forward(params, frozen, dims, x, key=k_fwd,
@@ -105,18 +101,35 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
                                     node_table=node_table)
             bce = jnp.mean(ww * optax.sigmoid_binary_cross_entropy(logits, y))
             preds.append(jax.nn.sigmoid(logits).reshape(-1))
-            ys.append(y.reshape(-1))
-            sizes.append(jnp.full(y.shape[0], k, dtype=jnp.int32))
         total_bce = total_bce + bce
         total_recon = total_recon + recon
     n_buckets = len(batch)
     total_bce = total_bce / n_buckets
     total_recon = total_recon / n_buckets
     loss = settings.alpha * total_bce + settings.beta * total_recon
+    # y/size are structural (reconstructed host-side from batch shapes by
+    # labels_for_batch) — only predictions leave the device
     aux = {"bce": total_bce, "recon": total_recon,
-           "pred": jnp.concatenate(preds), "y": jnp.concatenate(ys),
-           "size": jnp.concatenate(sizes)}
+           "pred": jnp.concatenate(preds)}
     return loss, aux
+
+
+def labels_for_batch(batch, settings: TrainSettings):
+    """Host-side reconstruction of the per-step label/size vectors matching
+    batch_loss's concatenated predictions."""
+    ys, sizes = [], []
+    for k in sorted(batch.keys()):
+        b = batch[k][0].shape[-2]
+        if settings.task_mode == "regress":
+            ys.append(np.ones(b))
+            sizes.append(np.full(b, k, dtype=np.int32))
+        else:
+            n = b * (1 + settings.neg_num)
+            y = np.zeros(n)
+            y[:b] = 1.0
+            ys.append(y)
+            sizes.append(np.full(n, k, dtype=np.int32))
+    return np.concatenate(ys), np.concatenate(sizes)
 
 
 class Trainer:
@@ -210,9 +223,11 @@ class Trainer:
         self.state, aux = self._train_epoch_fn(self.state, stacked)
         aux = jax.device_get(aux)
         elapsed = time.time() - t0
-        metrics = size_stratified_metrics(aux["y"].reshape(-1),
+        y, size = labels_for_batch(stacked, self.settings)
+        steps = aux["pred"].shape[0]
+        metrics = size_stratified_metrics(np.tile(y, steps),
                                           aux["pred"].reshape(-1),
-                                          aux["size"].reshape(-1))
+                                          np.tile(size, steps))
         n = aux["pred"].size
         return {"bce": float(aux["bce"].mean()),
                 "recon": float(aux["recon"].mean()),
@@ -242,9 +257,11 @@ class Trainer:
         stacked = self._place_batch(stacked)
         self.state, aux = self._eval_epoch_fn(self.state, stacked)
         aux = jax.device_get(aux)
-        metrics = size_stratified_metrics(aux["y"].reshape(-1),
+        y, size = labels_for_batch(stacked, self.settings)
+        steps = aux["pred"].shape[0]
+        metrics = size_stratified_metrics(np.tile(y, steps),
                                           aux["pred"].reshape(-1),
-                                          aux["size"].reshape(-1))
+                                          np.tile(size, steps))
         return {"bce": float(aux["bce"].mean()),
                 "recon": float(aux["recon"].mean()), "metrics": metrics}
 
