@@ -57,10 +57,22 @@ def _quantile(m: np.ndarray) -> np.ndarray:
 
 def denoise_chromosome(params, frozen, dims, genome: GenomeBins,
                        intra_adj: np.ndarray, chrom_id: int,
-                       min_distance: int, batch_size: int = 10_000):
-    """-> (pairs, denoised matrix, origin matrix, proba matrix, pixel values)"""
+                       min_distance: int, batch_size: int = 10_000,
+                       use_fast: bool = True):
+    """-> (pairs, denoised matrix, origin matrix, proba matrix, pixel values)
+
+    use_fast: score all pairs with the closed-form factorization
+    (apps/pairwise_fast.py — two matmuls instead of millions of forwards;
+    exact for k=2)."""
     pairs = generate_pair_wise(genome, chrom_id, min_distance)
-    proba = predict_proba(params, frozen, dims, pairs, batch_size=batch_size)
+    if use_fast:
+        from matcha_tpu.apps.pairwise_fast import pairwise_proba_matrix
+        full = pairwise_proba_matrix(params, frozen, dims, genome, chrom_id)
+        s = genome.chrom_range[chrom_id, 0]
+        proba = full[pairs[:, 0] - s, pairs[:, 1] - s].astype(np.float32)
+    else:
+        proba = predict_proba(params, frozen, dims, pairs,
+                              batch_size=batch_size)
     origin_vals = intra_adj[pairs[:, 0] - 1, pairs[:, 1] - 1]
 
     my_proba = _sqrt_coverage_normalize(proba2matrix(pairs, proba))
