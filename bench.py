@@ -51,7 +51,10 @@ def main():
     from matcha_tpu.train.runtime import Trainer, TrainSettings
 
     genome, dims, params, frozen = _build_problem(dim=64, n_head=8, chroms=23)
-    if os.environ.get("MATCHA_DTYPE") == "bfloat16":
+    # default = the validated fast configuration: bf16 compute (f32 master
+    # params; e2e AUROC parity checked on TPU) + fused Pallas attention.
+    # Override with MATCHA_DTYPE=float32 / MATCHA_PALLAS=0.
+    if os.environ.get("MATCHA_DTYPE", "bfloat16") == "bfloat16":
         dims = dims._replace(compute_dtype="bfloat16")
     if os.environ.get("MATCHA_PALLAS", "1") != "0" and jax.default_backend() != "cpu":
         dims = dims._replace(use_pallas_attention=True)
