@@ -245,20 +245,30 @@ def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
     # static, derived from the per-chrom feature table widths (shape[1]:
     # rows may carry sharding pad, columns never do)
     widths = [f.shape[1] for f in frozen.features]
-    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]]).tolist()
+    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]])
 
-    # column block of chromosome r — static per-chromosome slices via switch
-    def branch(c):
-        def fn(_):
-            s, w = col_start[c], widths[c]
-            target = frozen.inter_z[:, s:s + w][x_flat].astype(jnp.float32)
-            recon = linear(params["embed"]["recon"][c],
-                           tanh(emb_flat)).astype(jnp.float32)
-            return jnp.mean((target - recon) ** 2, axis=-1)
-        return fn
+    # Uniform padded path (a 23-branch lax.switch here bloats both compile
+    # time and the executable): pad every chromosome's decoder to the max
+    # width, select chromosome r's weights/columns by dynamic index/gather,
+    # mask the tail.  Identical math to the per-chromosome branch.
+    f_max = int(max(widths))
+    w_stack = jnp.stack([
+        jnp.pad(p_c["w"], ((0, 0), (0, f_max - p_c["w"].shape[1])))
+        for p_c in params["embed"]["recon"]])                 # (C, d, F)
+    b_stack = jnp.stack([
+        jnp.pad(p_c["b"], (0, f_max - p_c["b"].shape[0]))
+        for p_c in params["embed"]["recon"]])                 # (C, F)
+    width_arr = jnp.asarray(widths)
+    start_arr = jnp.asarray(col_start)
 
-    per_row = jax.lax.switch(r, [branch(c) for c in range(dims.num_chroms)],
-                             None)
+    cols = start_arr[r] + jnp.arange(f_max)                   # (F,)
+    col_ok = jnp.arange(f_max) < width_arr[r]
+    cols = jnp.clip(cols, 0, frozen.inter_z.shape[1] - 1)
+    target = frozen.inter_z[:, cols][x_flat].astype(jnp.float32)  # (M, F)
+    recon = (tanh(emb_flat.astype(jnp.float32)) @ w_stack[r]
+             + b_stack[r])                                    # (M, F)
+    sq = jnp.where(col_ok[None, :], (target - recon) ** 2, 0.0)
+    per_row = jnp.sum(sq, axis=-1) / width_arr[r]
     denom = jnp.sum(mask)
     loss = jnp.where(denom > 0,
                      jnp.sum(per_row * mask) / jnp.maximum(denom, 1), 0.0)
