@@ -50,16 +50,28 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def param_sharding(params: Dict, mesh: Mesh) -> Dict:
-    """Parameter placement: fully replicated.
+def param_sharding(params: Dict, mesh: Mesh,
+                   tensor_parallel: bool = False) -> Dict:
+    """Parameter placement.
 
-    The trainable stack is small (the big tensors are the FROZEN tables —
-    the per-chrom corrcoef features and inter_z, handled by frozen_sharding);
-    replicating params turns the batch "data" axis into plain data
-    parallelism with XLA-inserted psum gradient reduction over ICI.  The
-    largest params (tied-AE input weights, ~n_c*d each) are well under a
-    megabyte per chromosome at 100 kb resolution."""
+    Default: fully replicated.  The trainable stack is small (the big
+    tensors are the FROZEN tables — the per-chrom corrcoef features and
+    inter_z, handled by frozen_sharding); replicating params turns the batch
+    "data" axis into plain data parallelism with XLA-inserted psum gradient
+    reduction over ICI.  The largest params (tied-AE input weights, ~n_c*d
+    each) are well under a megabyte per chromosome at 100 kb resolution.
+
+    tensor_parallel=True additionally shards the attention matmuls on the
+    "model" axis Megatron-style — q/k/v projections column-sharded over
+    heads, fc1 row-sharded so its output needs one psum — for configurations
+    where d_model*heads grows beyond the replication sweet spot."""
     def place(path, leaf):
+        if tensor_parallel:
+            keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+            if keys[-1] in ("wq", "wk", "wv"):
+                return _ns(mesh, None, "model")   # (d, h*dk) cols = heads
+            if "fc1" in keys and keys[-1] == "w":
+                return _ns(mesh, "model", None)   # (h*dk, d) rows = heads
         return _ns(mesh)
     return jax.tree_util.tree_map_with_path(place, params)
 

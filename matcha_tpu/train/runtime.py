@@ -138,7 +138,7 @@ class Trainer:
     def __init__(self, params: Dict, frozen: FrozenTables, dims: ModelDims,
                  chrom_table: ChromTable, settings: TrainSettings,
                  blooms: Optional[Dict[int, DeviceBloomFilter]] = None,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, tensor_parallel: bool = False):
         self.mesh = mesh
         # private copy: the epoch fns donate the carried state, and
         # device_put to a replicated sharding may alias the source buffer as
@@ -152,7 +152,9 @@ class Trainer:
             from matcha_tpu.parallel.mesh import (frozen_sharding,
                                                   pad_frozen_for_mesh,
                                                   param_sharding)
-            params = jax.device_put(params, param_sharding(params, mesh))
+            params = jax.device_put(
+                params, param_sharding(params, mesh,
+                                       tensor_parallel=tensor_parallel))
             frozen = pad_frozen_for_mesh(frozen, mesh)
             frozen = jax.device_put(frozen, frozen_sharding(frozen, mesh))
         self.frozen = frozen

@@ -104,6 +104,28 @@ def test_sharding_placement(problem):
     assert p["encoder"]["mha"]["wq"].sharding.is_fully_replicated
 
 
+def test_tensor_parallel_mode(problem):
+    """Optional Megatron-style TP of the attention matmuls: placement is
+    applied and the sharded step still trains."""
+    genome, dims, params, frozen, table, buckets = problem
+    mesh = make_mesh(2, 4)
+    p = jax.device_put(params, param_sharding(params, mesh,
+                                              tensor_parallel=True))
+    assert p["encoder"]["mha"]["wq"].sharding.spec == (
+        jax.sharding.PartitionSpec(None, "model"))
+    assert p["encoder"]["mha"]["fc1"]["w"].sharding.spec == (
+        jax.sharding.PartitionSpec("model", None))
+    assert p["attr_nn"]["w"].sharding.is_fully_replicated
+
+    t = Trainer(params, frozen, dims, table,
+                TrainSettings(alpha=1.0, beta=0.001), None, mesh=mesh,
+                tensor_parallel=True)
+    from matcha_tpu.data.batcher import BucketedBatcher
+    b = BucketedBatcher(buckets(5), batch_size=16, num_batch_per_iter=2)
+    r = t.train_epoch(b)
+    assert np.isfinite(r["bce"])
+
+
 def test_eval_sharded(problem):
     genome, dims, params, frozen, table, buckets = problem
     settings = TrainSettings(alpha=1.0, beta=0.001)
