@@ -1,0 +1,96 @@
+"""100 kb resolution stress benchmark (BASELINE.json config[3]): ~31k nodes,
+memory-bound frozen tables (inter_z is N^2).  Measures the same stage-2
+training step at 10x the node count of the 1 Mb bench.
+
+Memory notes: features sum to ~0.4 GB, inter_z ~3.8 GB f32 (1.9 GB bf16) —
+resident in HBM; host-side construction streams per chromosome.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
+
+from matcha_tpu.genome import GenomeBins
+from matcha_tpu.models.hypersagnn import (FrozenTables, ModelDims, init_model)
+from matcha_tpu.data.batcher import BucketedBatcher
+from matcha_tpu.sampler.bloom import build_bloom_dict
+from matcha_tpu.sampler.negative import ChromTable
+from matcha_tpu.train.runtime import Trainer, TrainSettings
+
+HG38 = [248_956_422, 242_193_529, 198_295_559, 190_214_555, 181_538_259,
+        170_805_979, 159_345_973, 145_138_636, 138_394_717, 133_797_422,
+        135_086_622, 133_275_309, 114_364_328, 107_043_718, 101_991_189,
+        90_338_345, 83_257_441, 80_373_285, 58_617_616, 64_444_167,
+        46_709_983, 50_818_468, 156_040_895]
+
+
+def build_frozen_synthetic(genome, dtype, seed=0):
+    """Streamed synthetic frozen tables (avoids 2x N^2 f64 host peaks)."""
+    rng = np.random.default_rng(seed)
+    n = genome.num_nodes
+    feats = []
+    for c in range(genome.num_chroms):
+        s, e = genome.chrom_range[c]
+        w = e - s
+        block = rng.standard_normal((w, w)).astype(np.float32)
+        block = (block + block.T) / np.sqrt(w)
+        feats.append(jnp.asarray(block, dtype=dtype))
+    inter = jnp.asarray(rng.standard_normal((n + 1, n)).astype(np.float32),
+                        dtype=dtype)
+    attr = np.zeros((n + 1, genome.num_chroms + 1), np.float32)
+    for c in range(genome.num_chroms):
+        s, e = genome.chrom_range[c]
+        attr[s:e, c] = 1.0
+        attr[s:e, -1] = np.arange(e - s) / genome.bins_per_chrom[0]
+    return FrozenTables(
+        features=tuple(feats), attr_table=jnp.asarray(attr), inter_z=inter,
+        chrom_of_node=jnp.asarray(genome.node2chrom, jnp.int32),
+        chrom_bounds=jnp.asarray(genome.chrom_range, jnp.int32))
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    table_dtype = (jnp.bfloat16 if os.environ.get(
+        "MATCHA_TABLE_DTYPE", "bfloat16") == "bfloat16" else jnp.float32)
+    names = [f"chr{i+1}" for i in range(22)] + ["chrX"]
+    genome = GenomeBins(names, HG38, 100_000)
+    print(f"# nodes: {genome.num_nodes}", file=sys.stderr)
+
+    dims = ModelDims(dim=64, n_head=8, num_chroms=23,
+                     num_nodes=genome.num_nodes,
+                     compute_dtype="bfloat16", use_pallas_attention=True)
+    chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
+    params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
+    frozen = build_frozen_synthetic(genome, table_dtype)
+
+    rng = np.random.default_rng(0)
+    buckets = {}
+    for k in (2, 3, 4, 5):
+        e = np.sort(rng.choice(np.arange(1, genome.num_nodes + 1),
+                               (4 * batch, k)), axis=1)
+        e = e[(np.diff(e, axis=1) > 0).all(axis=1)]
+        buckets[k] = (e.astype(np.int32),
+                      rng.random(len(e)).astype(np.float32) + 0.5)
+    blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
+    trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
+                      TrainSettings(alpha=1.0, beta=0.001), blooms=blooms)
+    batcher = BucketedBatcher(buckets, batch_size=batch,
+                              num_batch_per_iter=10)
+    trainer.train_epoch(batcher)          # compile
+    best = min(trainer.train_epoch(batcher)["elapsed"] for _ in range(3))
+    rate = 4 * batch * 4 * 10 / best
+    print(f'{{"metric": "hyperedges_scored_per_sec_100kb_31k_nodes", '
+          f'"value": {rate:.0f}, "unit": "hyperedges/s"}}')
+
+
+if __name__ == "__main__":
+    main()
