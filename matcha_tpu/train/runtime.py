@@ -167,46 +167,62 @@ class Trainer:
         self.state = TrainState(params=params,
                                 opt_state=optimizer.init(params),
                                 key=jax.random.PRNGKey(seed))
-        frozen_c, dims_c, table_c, blooms_c, settings_c = (
-            frozen, dims, chrom_table, blooms, settings)
+        dims_c, settings_c = dims, settings
 
-        def train_step(state: TrainState, batch):
-            key, k_tab, k_loss = jax.random.split(state.key, 3)
+        # IMPORTANT: frozen tables / Bloom bitsets / chrom tables are passed
+        # as ARGUMENTS, not closures — jit embeds closed-over device arrays
+        # as executable constants, which at 100 kb scale means gigabytes
+        # baked into the compiled binary (and quadratic compile times).
+        def train_step_with(frozen, table, blooms):
+            def train_step(state: TrainState, batch):
+                key, k_tab, k_loss = jax.random.split(state.key, 3)
 
-            def loss_fn(params):
-                node_table = encode_node_table(params, frozen_c, dims_c,
-                                               key=k_tab, train=True)
-                return batch_loss(params, frozen_c, dims_c, table_c, blooms_c,
-                                  settings_c, batch, k_loss, node_table, True)
+                def loss_fn(params):
+                    node_table = encode_node_table(params, frozen, dims_c,
+                                                   key=k_tab, train=True)
+                    return batch_loss(params, frozen, dims_c, table, blooms,
+                                      settings_c, batch, k_loss, node_table,
+                                      True)
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, key), aux
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                      state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, key), aux
+            return train_step
 
-        def eval_step(state: TrainState, batch):
-            key, k_loss = jax.random.split(state.key)
-            node_table = encode_node_table(state.params, frozen_c, dims_c,
-                                           train=False)
-            _, aux = batch_loss(state.params, frozen_c, dims_c, table_c,
-                                blooms_c, settings_c, batch, k_loss,
-                                node_table, False)
-            return TrainState(state.params, state.opt_state, key), aux
+        @partial(jax.jit, donate_argnums=0, static_argnames=("has_blooms",))
+        def train_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):
+            step = train_step_with(frozen, table,
+                                   blooms if has_blooms else None)
+            return jax.lax.scan(step, state, stacked)
 
-        # one epoch = one scanned XLA program over stacked batches; the
-        # carried state is donated (params/opt buffers updated in place)
-        @partial(jax.jit, donate_argnums=0)
-        def train_epoch_fn(state, stacked):
-            return jax.lax.scan(train_step, state, stacked)
-
-        @jax.jit
-        def eval_epoch_fn(state, stacked):
+        @partial(jax.jit, static_argnames=("has_blooms",))
+        def eval_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):
+            def eval_step(state: TrainState, batch):
+                key, k_loss = jax.random.split(state.key)
+                node_table = encode_node_table(state.params, frozen, dims_c,
+                                               train=False)
+                _, aux = batch_loss(state.params, frozen, dims_c, table,
+                                    blooms if has_blooms else None,
+                                    settings_c, batch, k_loss, node_table,
+                                    False)
+                return TrainState(state.params, state.opt_state, key), aux
             return jax.lax.scan(eval_step, state, stacked)
 
-        self._train_epoch_fn = train_epoch_fn
-        self._eval_epoch_fn = eval_epoch_fn
+        def run_train_epoch(state, stacked):
+            return train_epoch_fn(state, stacked, self.frozen,
+                                  self.chrom_table, self.blooms or {},
+                                  self.blooms is not None)
+
+        def run_eval_epoch(state, stacked):
+            return eval_epoch_fn(state, stacked, self.frozen,
+                                 self.chrom_table, self.blooms or {},
+                                 self.blooms is not None)
+
+        self._train_epoch_fn = run_train_epoch
+        self._eval_epoch_fn = run_eval_epoch
 
     # ------------------------------------------------------------- epochs
     def _place_batch(self, stacked):

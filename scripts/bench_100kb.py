@@ -70,7 +70,10 @@ def main():
                      compute_dtype="bfloat16", use_pallas_attention=True)
     chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
     params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
+    t0 = time.time()
     frozen = build_frozen_synthetic(genome, table_dtype)
+    jax.block_until_ready(frozen.inter_z)
+    print(f"# frozen built+transferred in {time.time()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     buckets = {}
@@ -80,12 +83,16 @@ def main():
         e = e[(np.diff(e, axis=1) > 0).all(axis=1)]
         buckets[k] = (e.astype(np.int32),
                       rng.random(len(e)).astype(np.float32) + 0.5)
+    t0 = time.time()
     blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
+    print(f"# blooms in {time.time()-t0:.1f}s", file=sys.stderr)
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
                       TrainSettings(alpha=1.0, beta=0.001), blooms=blooms)
     batcher = BucketedBatcher(buckets, batch_size=batch,
                               num_batch_per_iter=10)
+    t0 = time.time()
     trainer.train_epoch(batcher)          # compile
+    print(f"# first epoch (compile) in {time.time()-t0:.1f}s", file=sys.stderr)
     best = min(trainer.train_epoch(batcher)["elapsed"] for _ in range(3))
     rate = 4 * batch * 4 * 10 / best
     print(f'{{"metric": "hyperedges_scored_per_sec_100kb_31k_nodes", '
