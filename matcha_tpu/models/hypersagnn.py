@@ -328,6 +328,77 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     return (out,) + rest if rest else out
 
 
+def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
+                    xs: Dict[int, jnp.ndarray], *,
+                    key: Optional[jax.Array] = None, train: bool = False,
+                    return_recon: bool = False,
+                    node_table: Optional[jnp.ndarray] = None):
+    """Forward over several per-k buckets as ONE merged token stream.
+
+    Buckets contain no padding (every member is a real node id), so the
+    reference's non-pad-mask multiplications are identities and the masked
+    mean is a plain mean — every per-token stage (gather, attributes, next_w,
+    pff_n1, LayerNorms, classifier head, recon) runs once over the
+    concatenated stream instead of once per bucket; only the per-edge
+    attention runs per k (its shape depends on k).  Output logits per bucket
+    match `forward` exactly (pinned by tests/test_forward_buckets.py).
+
+    Returns ({k: (n_k, 1) logits}, recon) — recon only if return_recon.
+    """
+    if key is not None:
+        key, k_tab, k_rec, k_enc = jax.random.split(key, 4)
+    else:
+        k_tab = k_rec = k_enc = None
+    if node_table is None:
+        node_table = encode_node_table(params, frozen, dims, key=k_tab,
+                                       train=train)
+
+    ks = sorted(xs.keys())
+    shapes = [(int(xs[k].shape[0]), int(k)) for k in ks]
+    flat = jnp.concatenate([xs[k].reshape(-1) for k in ks])     # (T,)
+
+    emb = node_table[flat]                                       # (T, d)
+    attr = frozen.attr_table[flat].astype(dims.cdt)
+    attr = linear(params["attr_nn"], attr)
+    h = tanh(feed_forward(params["next_w"], emb + attr))         # (T, d)
+
+    # per-bucket attention on static slices of the stream
+    from matcha_tpu.models.modules import mha_dynamic
+    keys_enc = (jax.random.split(k_enc, len(ks) + 1)
+                if k_enc is not None else [None] * (len(ks) + 1))
+    dyn_parts = []
+    off = 0
+    for i, (n_k, k) in enumerate(shapes):
+        hk = jax.lax.dynamic_slice_in_dim(h, off, n_k * k).reshape(n_k, k, -1)
+        dyn_k = mha_dynamic(params["encoder"]["mha"], hk, dims.n_head,
+                            dims.dim, dims.dim, diag_mask=dims.diag_mask,
+                            key=keys_enc[i], drop_rate=0.3, train=train,
+                            use_pallas=dims.use_pallas_attention)
+        dyn_parts.append(dyn_k.reshape(n_k * k, -1))
+        off += n_k * k
+    dyn = jnp.concatenate(dyn_parts, axis=0)                     # (T, d)
+    dyn = pff(params["encoder"]["pff_n1"], dyn, residual=True,
+              key=keys_enc[-1], drop_rate=0.4, train=train)
+
+    dynamic = layer_norm(params["ln_dynamic"], dyn)
+    static = layer_norm(params["ln_static"], h)
+    out = (dynamic - static) ** 2 if dims.diag_mask else dynamic
+    per_pos = pff(params["pff_classifier"], out).astype(jnp.float32)  # (T,1)
+
+    logits = {}
+    off = 0
+    for (n_k, k) in shapes:
+        logits[k] = jnp.mean(
+            jax.lax.dynamic_slice_in_dim(per_pos[:, 0], off, n_k * k)
+            .reshape(n_k, k), axis=-1, keepdims=True)
+        off += n_k * k
+
+    if return_recon:
+        recon = recon_loss_fn(params, frozen, dims, flat, emb, k_rec)
+        return logits, recon
+    return logits
+
+
 def node_embeddings(params: Dict, frozen: FrozenTables, dims: ModelDims,
                     ) -> jnp.ndarray:
     """All-node embedding export (ref save_embeddings, Code/main.py:462-479):

@@ -66,7 +66,14 @@ def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
 def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
                table: ChromTable, blooms, settings: TrainSettings,
                batch, key, node_table, train: bool):
-    """Loss + per-bucket predictions for one step's dict of per-k buckets."""
+    """Loss + per-bucket predictions for one step's dict of per-k buckets.
+
+    Classification mode runs the MERGED token-stream forward
+    (models.forward_buckets) — all per-token stages once over the
+    concatenated buckets; regress mode keeps the per-bucket path."""
+    if settings.task_mode != "regress":
+        return _batch_loss_merged(params, frozen, dims, table, blooms,
+                                  settings, batch, key, node_table, train)
     total_bce = 0.0
     total_recon = 0.0
     preds, ys, sizes = [], [], []
@@ -110,6 +117,44 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
     # y/size are structural (reconstructed host-side from batch shapes by
     # labels_for_batch) — only predictions leave the device
     aux = {"bce": total_bce, "recon": total_recon,
+           "pred": jnp.concatenate(preds)}
+    return loss, aux
+
+
+def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
+                       batch, key, node_table, train: bool):
+    from matcha_tpu.models.hypersagnn import forward_buckets
+    xs, ws = {}, {}
+    for k in sorted(batch.keys()):
+        pos, w = batch[k]
+        key, k_neg = jax.random.split(key)
+        neg = sample_negatives(k_neg, pos, table, settings.min_distance,
+                               None if blooms is None else blooms[k],
+                               neg_num=settings.neg_num,
+                               max_trials=settings.max_trials,
+                               hard_ratio=settings.hard_ratio)
+        xs[k] = jnp.concatenate([pos, neg], axis=0)
+        ws[k] = w
+    key, k_fwd = jax.random.split(key)
+    logits, recon = forward_buckets(params, frozen, dims, xs, key=k_fwd,
+                                    train=train, return_recon=True,
+                                    node_table=node_table)
+    total_bce = 0.0
+    preds = []
+    for k in sorted(batch.keys()):
+        n_pos = batch[k][0].shape[0]
+        lg = logits[k]
+        y = jnp.concatenate([jnp.ones(n_pos),
+                             jnp.zeros(lg.shape[0] - n_pos)])[:, None]
+        ww = jnp.concatenate([ws[k].reshape(-1),
+                              jnp.ones(lg.shape[0] - n_pos)])[:, None]
+        total_bce = total_bce + jnp.mean(
+            ww * optax.sigmoid_binary_cross_entropy(lg, y))
+        preds.append(jax.nn.sigmoid(lg).reshape(-1))
+    n_buckets = len(batch)
+    total_bce = total_bce / n_buckets
+    loss = settings.alpha * total_bce + settings.beta * recon
+    aux = {"bce": total_bce, "recon": recon,
            "pred": jnp.concatenate(preds)}
     return loss, aux
 
