@@ -333,7 +333,8 @@ class Trainer:
             batch_size: int = 96, num_batch_per_iter: int = 1000,
             checkpoint_path: Optional[str] = None, log=print, seed: int = 0,
             metrics_logger=None, stage: str = "stage",
-            profile_dir: Optional[str] = None):
+            profile_dir: Optional[str] = None,
+            embeddings_path: Optional[str] = None):
         """One stage of the schedule; returns history.  Checkpoints when the
         largest size's validation AUPRC improves (ref Code/main.py:313-322)."""
         batcher = BucketedBatcher(train_buckets, batch_size,
@@ -342,6 +343,9 @@ class Trainer:
         best = 0.0
         history = []
         for epoch in range(epochs):
+            if embeddings_path is not None:
+                # per-epoch embedding export (ref Code/main.py:275)
+                self.export_embeddings(embeddings_path)
             if profile_dir is not None and epoch == 1:
                 # trace the first steady-state epoch (epoch 0 pays compile)
                 from matcha_tpu.utils import profile_trace
