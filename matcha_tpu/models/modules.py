@@ -170,6 +170,14 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
     downstream is the raw input (see encoder_layer).
     """
     b, L, _ = x.shape
+    if diag_mask and L == 2:
+        # closed form: with the self-excluding mask and two positions, each
+        # row of the softmax has exactly one unmasked key — attention weight
+        # is exactly 1 on the other member, so the output is fc1(v_other)
+        v = layer_norm(p["ln_v"], x) @ p["wv"].astype(x.dtype)
+        out = linear(p["fc1"], v[:, ::-1, :])
+        key, kd = jax.random.split(key) if key is not None else (None, None)
+        return dropout(kd, out, drop_rate, train)
     if use_pallas and b % 128 == 0 and jax.default_backend() != "cpu":
         # fused Pallas kernel: LN+qkv+attention+fc1 in one VMEM-resident pass
         from matcha_tpu.ops.hyperedge_attention import (_pack_ln,

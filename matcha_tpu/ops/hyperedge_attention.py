@@ -308,7 +308,8 @@ def _bwd_pallas(x, ln, wq, wk, wv, fw, fb, g, *, n_head: int,
                 diag_mask: bool, interpret: bool = False):
     E, L, d = x.shape
     dk = wq.shape[1] // n_head
-    be = max(_block_edges(E, jnp.float32) // 2, 1)  # bwd holds ~2x live data
+    # bwd holds ~2x the live data of fwd; bf16 activations buy a 2x block
+    be = max(_block_edges(E, x.dtype) // 2, 1)
     grid = (E // be,)
     kern = partial(_bwd_kernel, L=L, H=n_head, dk=dk, diag_mask=diag_mask)
     x_t = x.transpose(1, 0, 2)
