@@ -131,3 +131,49 @@ def test_plot_embedding(tmp_path, rng):
                           str(tmp_path / "lab.npy"),
                           str(tmp_path / "scatter.png"))
     assert (tmp_path / "scatter.png").exists()
+
+
+def test_denoise_normalization_chain_matches_reference_formulas(rng):
+    """The sqrt-coverage/combine/gap/quantile chain vs a direct transcription
+    of the reference's per-line operations (ref Code/denoise_contact.py:160-192)."""
+    from sklearn.preprocessing import QuantileTransformer
+    from matcha_tpu.apps.denoise_contact import _sqrt_coverage_normalize
+
+    n = 30
+    my_proba = rng.random((n, n)).astype("float32")
+    origin = (rng.random((n, n)) * (rng.random((n, n)) > 0.2)).astype("float32")
+    origin[5, :] = 0.0   # a gap row
+    origin[:, 5] = 0.0
+
+    # ---- reference formulas, transcribed
+    def ref_norm(m):
+        c1 = np.sqrt(m.mean(axis=-1, keepdims=True))
+        c2 = np.sqrt(m.mean(axis=0, keepdims=True))
+        return m / (c1 + 1e-15) / (c2 + 1e-15)
+
+    mp = ref_norm(my_proba.copy())
+    op = origin.copy()
+    gap1 = op.sum(axis=-1) == 0
+    gap2 = op.sum(axis=0) == 0
+    op = ref_norm(op)
+    my = np.maximum(mp * op, mp)
+    my = ref_norm(my)
+    my[gap1, :] = 0.0
+    my[:, gap2] = 0.0
+    qt = QuantileTransformer(n_quantiles=1000, output_distribution="uniform")
+    my_ref = qt.fit_transform(my.reshape(-1, 1)).reshape(n, n)
+
+    # ---- ours
+    ours_mp = _sqrt_coverage_normalize(my_proba.copy())
+    ours_op = origin.copy()
+    g1 = ours_op.sum(axis=-1) == 0
+    g2 = ours_op.sum(axis=0) == 0
+    ours_op = _sqrt_coverage_normalize(ours_op)
+    ours = np.maximum(ours_mp * ours_op, ours_mp)
+    ours = _sqrt_coverage_normalize(ours)
+    ours[g1, :] = 0.0
+    ours[:, g2] = 0.0
+    from matcha_tpu.apps.denoise_contact import _quantile
+    ours = _quantile(ours)
+
+    np.testing.assert_allclose(ours, my_ref, rtol=1e-5, atol=1e-6)
