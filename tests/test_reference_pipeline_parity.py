@@ -26,7 +26,15 @@ REF = "/root/reference/Code"
 
 
 @pytest.mark.slow
-def test_artifacts_match_reference_scripts(tmp_path):
+@pytest.mark.parametrize("min_distance,k_list,min_freq", [
+    (0, [2, 3], 2),
+    # min-gap branch of the reference's rule (Code/generate_kmers.py:18,24-33)
+    # plus the larger k sizes; min_freq=1 keeps the rare 4/5-mers so the
+    # comparison covers every enumerated k-mer, not just repeated ones
+    (2, [2, 3, 4, 5], 1),
+])
+def test_artifacts_match_reference_scripts(tmp_path, min_distance, k_list,
+                                           min_freq):
     rng = np.random.default_rng(9)
     # >= 100 nodes: the reference's generate_kmers crashes on genomes with
     # fewer nodes than its process-pool batch size of 50
@@ -40,8 +48,8 @@ def test_artifacts_match_reference_scripts(tmp_path):
     config = Config(cluster_path=cluster_path, mcool_path=mcool_path,
                     resolution=1_000_000, chrom_list=genome.chrom_names,
                     chrom_size=sizes_path, temp_dir=str(ours),
-                    max_cluster_size=25, min_distance=0, kmer_size=[2, 3],
-                    min_freq_cutoff=2)
+                    max_cluster_size=25, min_distance=min_distance,
+                    kmer_size=k_list, min_freq_cutoff=min_freq)
     run_process(config)
     run_generate_kmers(config)
 
@@ -53,8 +61,9 @@ def test_artifacts_match_reference_scripts(tmp_path):
         "cluster_path": cluster_path, "mcool_path": mcool_path,
         "resolution": 1_000_000, "chrom_list": genome.chrom_names,
         "chrom_size": sizes_path, "temp_dir": str(theirs),
-        "max_cluster_size": 25, "min_distance": 0, "k-mer_size": [2, 3],
-        "min_freq_cutoff": 2, "quantile_cutoff_for_positive": 0.6,
+        "max_cluster_size": 25, "min_distance": min_distance,
+        "k-mer_size": k_list,
+        "min_freq_cutoff": min_freq, "quantile_cutoff_for_positive": 0.6,
         "quantile_cutoff_for_unlabel": 0.4, "embed_dim": 16,
     }
     (work / "config.JSON").write_text(json.dumps(ref_config))
@@ -112,13 +121,15 @@ def test_artifacts_match_reference_scripts(tmp_path):
     np.testing.assert_allclose(np.load(ours / "inter_adj.npy"),
                                np.load(theirs / "inter_adj.npy"), rtol=1e-6)
 
-    for k in (2, 3):
+    for k in k_list:
         ok = np.load(ours / f"all_{k}_counter.npy")
         of = np.load(ours / f"all_{k}_freq_counter.npy")
         rk = np.load(theirs / f"all_{k}_counter.npy")
         rf = np.load(theirs / f"all_{k}_freq_counter.npy")
         # orderings differ; compare as sets of (kmer, freq)
         ours_set = {tuple(map(int, row)): float(f) for row, f in zip(ok, of)}
-        ref_set = {tuple(map(int, row)): float(f) for row, f in zip(rk, rf)}
+        ref_set = {tuple(map(int, row)): float(f)
+                   for row, f in zip(rk.reshape(-1, k), rf)}
+        assert len(ours_set) > 0, f"k={k}: empty k-mer set (fixture too thin)"
         assert ours_set == ref_set, (
             f"k={k}: {len(ours_set)} vs {len(ref_set)} kmers")
