@@ -98,6 +98,96 @@ def test_regress_mode_trains(problem, rng):
     assert np.isfinite(r["bce"])
 
 
+def _reference_node_filter(edge_list, chrom_range, node2bin, node2chrom):
+    """Literal dict/loop translation of the reference's low-frequency node
+    drop + renumber (History_version/Code/process_SPRITE.py:93-161), used as
+    the oracle (the script itself has hardcoded absolute paths)."""
+    node_freq = np.zeros((np.max(chrom_range)))
+    for e in edge_list:
+        if len(e) > 25:
+            continue
+        for n in e:
+            node_freq[n] += 1
+    drop_list = set(np.where(node_freq <= 50)[0].tolist())
+    node2newnode, dropnode2newnode = {}, {}
+    count = 1
+    n = 0
+    for n in range(np.max(chrom_range)):
+        if n == 0:
+            continue
+        elif n in drop_list:
+            dropnode2newnode[n] = count
+        else:
+            node2newnode[n] = count
+            count += 1
+    dropnode2newnode[n + 1] = count
+    new_node2bin, new_bin2node, newnode2chrom = {}, {}, {}
+    for node in node2bin:
+        if node in node2newnode:
+            new_node2bin[node2newnode[node]] = node2bin[node]
+            new_bin2node[node2bin[node]] = node2newnode[node]
+            newnode2chrom[node2newnode[node]] = node2chrom[node]
+    new_final = []
+    for e in edge_list:
+        temp = [node2newnode[x] for x in e if x in node2newnode]
+        if len(temp) >= 2:
+            new_final.append(temp)
+    new_chrom_range = []
+    for v in chrom_range:
+        new_chrom_range.append(
+            [node2newnode.get(v[0], dropnode2newnode.get(v[0])),
+             node2newnode.get(v[1], dropnode2newnode.get(v[1]))])
+    return (new_final, np.array(new_chrom_range), new_bin2node, new_node2bin,
+            newnode2chrom)
+
+
+def test_legacy_node_filter_matches_reference_semantics(rng):
+    from matcha_tpu.data.legacy import (filter_low_frequency_nodes,
+                                        remap_node_dicts)
+    genome = GenomeBins(["chr1", "chr2", "chr3"],
+                        [40_000_000, 25_000_000, 18_000_000], 1_000_000)
+    n = genome.num_nodes
+    # heavy-tailed node usage so a sizable fraction lands at freq <= 50;
+    # a few oversized clusters exercise the freq_count_cap branch
+    popular = rng.permutation(np.arange(1, n + 1))[:n // 2]
+    edge_list = []
+    for _ in range(4000):
+        k = int(rng.integers(2, 6))
+        e = sorted(set(rng.choice(popular, k, replace=False).tolist()))
+        if len(e) >= 2:
+            edge_list.append(e)
+    # mid-tier: every node gets ~25-75 extra pair occurrences so many land
+    # right around the freq<=50 cutoff
+    for _ in range(int(n * 25)):
+        e = sorted(set(rng.choice(np.arange(1, n + 1), 2,
+                                  replace=False).tolist()))
+        if len(e) >= 2:
+            edge_list.append(e)
+    for _ in range(30):
+        e = sorted(set(rng.choice(np.arange(1, n + 1), 30,
+                                  replace=False).tolist()))
+        edge_list.append(e)
+
+    ref_final, ref_range, ref_b2n, ref_n2b, ref_n2c = _reference_node_filter(
+        edge_list, genome.chrom_range, genome.node2bin_dict(),
+        genome.node2chrom_dict())
+
+    sizes = [len(e) for e in edge_list]
+    flat = np.concatenate([np.asarray(e) for e in edge_list]).astype(np.int32)
+    offsets = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    res = filter_low_frequency_nodes(flat, offsets, genome.chrom_range)
+
+    ours_final = [res.flat[res.offsets[i]:res.offsets[i + 1]].tolist()
+                  for i in range(len(res.offsets) - 1)]
+    assert ours_final == ref_final
+    np.testing.assert_array_equal(res.chrom_range, ref_range)
+    b2n, n2b, n2c = remap_node_dicts(res, genome.node2bin_dict(),
+                                     genome.node2chrom_dict())
+    assert b2n == ref_b2n and n2b == ref_n2b and n2c == ref_n2c
+    assert res.new_node_num == int(ref_range.max())
+
+
 def test_outlier_detection(problem, rng):
     genome, dims, chrom_sizes, frozen = problem
     params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
