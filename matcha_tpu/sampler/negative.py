@@ -76,25 +76,35 @@ def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
     return ranks < change_num[:, None]
 
 
-def sample_negatives(key: jax.Array, positives: jnp.ndarray,
-                     table: ChromTable, min_distance: int,
-                     bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
-                     max_trials: int = 8,
-                     hard_ratio: float = 1.0) -> jnp.ndarray:
+def sample_negatives_with_stats(
+        key: jax.Array, positives: jnp.ndarray, table: ChromTable,
+        min_distance: int, bloom: Optional[DeviceBloomFilter], *,
+        neg_num: int = 3, max_trials: int = 8, hard_ratio: float = 1.0,
+        extra_rounds: int = 32) -> Tuple[jnp.ndarray, dict]:
     """Generate (B*neg_num, k) negatives for a (B, k) positive bucket.
 
     hard_ratio: fraction of negatives corrupted chromosome-constrained at the
     binomially-chosen positions ("hard"); the rest are wholly random
     hyperedges over the full node range ("simple") — the legacy pair_ratio
     mixing (ref History_version/Code/main_SPRITE.py:423-449).  The current
-    reference pipeline uses hard_ratio=1.0."""
+    reference pipeline uses hard_ratio=1.0.
+
+    Returns (negatives, stats) where stats counts the rows that exhausted
+    every trial: ``bloom_fallback`` = rows that ended on a structurally-valid
+    Bloom-HIT candidate (a likely positive labeled y=0 — the silent-mislabel
+    risk the reference avoids by looping forever, Code/main.py:392-421) and
+    ``orig_fallback`` = rows that fell back to the positive itself.  ``rows``
+    is the per-call denominator.
+    """
     b, k = positives.shape
     n = b * neg_num
     orig = jnp.tile(positives, (neg_num, 1)).astype(jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
 
     if bloom is None:
         # stage-1 semantics: empty rejection dicts -> negatives == positives
-        return orig
+        return orig, {"bloom_fallback": zero, "orig_fallback": zero,
+                      "rows": jnp.asarray(n, jnp.int32)}
 
     key, km = jax.random.split(key)
     change = _sample_change_mask(km, n, k)
@@ -110,31 +120,85 @@ def sample_negatives(key: jax.Array, positives: jnp.ndarray,
         lo = jnp.where(hard, lo, 1.0)                # simple: whole range
         hi = jnp.where(hard, hi, float(num_nodes))
 
-    # All trial rounds are proposed IN PARALLEL and the first acceptable one
-    # is selected — no sequential rejection loop, so the cost is fixed and
-    # fully pipelineable (a lax.while_loop's iteration count is set by the
-    # slowest row of the whole batch and every extra iteration re-proposes
-    # all rows).  With per-trial acceptance a ≈ P(gaps ok)·(1 - bloom hit),
-    # P(no trial accepted) = (1-a)^T — at a ≈ 0.9, T=8 gives 1e-8.
+    def propose(k_round):
+        """One candidate per row at the FIXED corruption positions (the
+        reference re-randomizes values, not positions, Code/main.py:389-407);
+        returns (sorted candidate, gaps-ok, accepted)."""
+        u = jax.random.uniform(k_round, (n, k))
+        cand = (lo + jnp.floor((hi - lo) * u)).astype(jnp.int32)
+        t = jnp.sort(jnp.where(change, cand, orig), axis=-1)
+        ok = jnp.all(jnp.diff(t, axis=-1) > min_distance, axis=-1)
+        return t, ok, ok & ~bloom.contains(t)
+
+    # Phase 1: T trial rounds proposed IN PARALLEL, first acceptable one
+    # selected — fixed cost, no sequential dependency.  With per-trial
+    # acceptance a ≈ P(gaps ok)·(1 - bloom hit), P(no trial accepted) =
+    # (1-a)^T; dense unlabeled sets (chromosome-constrained k=2 at 1 Mb can
+    # see 30-50% bloom-hit rates) leave a real residue, handled by phase 2.
     T = max(1, min(int(max_trials), 16))
-    u = jax.random.uniform(key, (T, n, k))
+    key, kt = jax.random.split(key)
+    u = jax.random.uniform(kt, (T, n, k))
     cand = (lo[None] + jnp.floor((hi - lo)[None] * u)).astype(jnp.int32)
     temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
     temp = jnp.sort(temp, axis=-1)
     ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)
     accept = ok & ~bloom.contains(temp)                 # distinct+gap+miss
     # first accepted trial; else first structurally-valid; else original
-    def first_true(mask, default):                      # (T, n) -> (n,)
-        idx = jnp.argmax(mask, axis=0)
-        found = jnp.any(mask, axis=0)
-        return idx, found
+    def first_true(mask):                               # (T, n) -> (n,)
+        return jnp.argmax(mask, axis=0), jnp.any(mask, axis=0)
 
-    acc_idx, acc_found = first_true(accept, 0)
-    ok_idx, ok_found = first_true(ok, 0)
+    acc_idx, acc_found = first_true(accept)
+    ok_idx, ok_found = first_true(ok)
     pick = jnp.where(acc_found, acc_idx, ok_idx)
     chosen = jnp.take_along_axis(temp, pick[None, :, None], axis=0)[0]
+
+    # Phase 2: bounded sequential re-trial of ONLY the still-unaccepted rows
+    # (one proposal per round, merged into failed rows) — the device analogue
+    # of the reference's loop-until-clean, with an iteration cap.  In the
+    # common case every row cleared phase 1 and the loop body never runs.
+    if extra_rounds > 0:
+        key, kw = jax.random.split(key)
+
+        def w_cond(carry):
+            i, _, found, _, _ = carry
+            return (i < extra_rounds) & jnp.any(~found)
+
+        def w_body(carry):
+            i, k_, found, cur, cur_ok = carry
+            k_, kp = jax.random.split(k_)
+            t, ok_r, acc_r = propose(kp)
+            take = ~found & acc_r
+            # a row with no structurally-valid candidate yet stores its first
+            # one (even if Bloom-hit) so the final fallback is always valid
+            take_ok = ~found & ~cur_ok & ok_r
+            cur = jnp.where((take | take_ok)[:, None], t, cur)
+            return i + 1, k_, found | take, cur, cur_ok | (~found & ok_r)
+
+        _, _, acc_found, chosen, ok_found = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.zeros((), jnp.int32), kw, acc_found, chosen, ok_found))
+
     use_orig = ~(acc_found | ok_found)
-    return jnp.where(use_orig[:, None], orig, chosen)
+    neg = jnp.where(use_orig[:, None], orig, chosen)
+    stats = {
+        "bloom_fallback": jnp.sum(~acc_found & ok_found).astype(jnp.int32),
+        "orig_fallback": jnp.sum(use_orig).astype(jnp.int32),
+        "rows": jnp.asarray(n, jnp.int32),
+    }
+    return neg, stats
+
+
+def sample_negatives(key: jax.Array, positives: jnp.ndarray,
+                     table: ChromTable, min_distance: int,
+                     bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
+                     max_trials: int = 8, hard_ratio: float = 1.0,
+                     extra_rounds: int = 32) -> jnp.ndarray:
+    """`sample_negatives_with_stats` without the counters."""
+    neg, _ = sample_negatives_with_stats(
+        key, positives, table, min_distance, bloom, neg_num=neg_num,
+        max_trials=max_trials, hard_ratio=hard_ratio,
+        extra_rounds=extra_rounds)
+    return neg
 
 
 def assemble_batch(positives: jnp.ndarray, weights: jnp.ndarray,

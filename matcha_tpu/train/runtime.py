@@ -35,7 +35,7 @@ from matcha_tpu.models.hypersagnn import (FrozenTables, ModelDims,
                                           node_embeddings)
 from matcha_tpu.sampler.bloom import DeviceBloomFilter, build_bloom_dict
 from matcha_tpu.sampler.negative import (ChromTable, assemble_batch,
-                                         sample_negatives)
+                                         sample_negatives_with_stats)
 from matcha_tpu.train.metrics import format_metrics, size_stratified_metrics
 
 
@@ -51,7 +51,8 @@ class TrainSettings(NamedTuple):
     beta: float
     neg_num: int = 3
     min_distance: int = 0
-    max_trials: int = 3
+    max_trials: int = 8       # parallel candidate rounds per negative
+    extra_rounds: int = 32    # bounded re-trial of rows all T rounds missed
     learning_rate: float = 1e-3
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
     task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)
@@ -77,14 +78,21 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
     total_bce = 0.0
     total_recon = 0.0
     preds, ys, sizes = [], [], []
+    fb_bloom = jnp.zeros((), jnp.int32)
+    fb_orig = jnp.zeros((), jnp.int32)
+    fb_rows = jnp.zeros((), jnp.int32)
     for k in sorted(batch.keys()):
         pos, w = batch[k]
         key, k_neg, k_fwd = jax.random.split(key, 3)
-        neg = sample_negatives(k_neg, pos, table, settings.min_distance,
-                               None if blooms is None else blooms[k],
-                               neg_num=settings.neg_num,
-                               max_trials=settings.max_trials,
-                               hard_ratio=settings.hard_ratio)
+        neg, st = sample_negatives_with_stats(
+            k_neg, pos, table, settings.min_distance,
+            None if blooms is None else blooms[k],
+            neg_num=settings.neg_num, max_trials=settings.max_trials,
+            extra_rounds=settings.extra_rounds,
+            hard_ratio=settings.hard_ratio)
+        fb_bloom += st["bloom_fallback"]
+        fb_orig += st["orig_fallback"]
+        fb_rows += st["rows"]
         if settings.task_mode == "regress":
             # pairwise-ranking variant (ref forward_op_batch_regress,
             # Code/main.py:60-115): y = quantile weight for positives / 0 for
@@ -117,7 +125,9 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
     # y/size are structural (reconstructed host-side from batch shapes by
     # labels_for_batch) — only predictions leave the device
     aux = {"bce": total_bce, "recon": total_recon,
-           "pred": jnp.concatenate(preds)}
+           "pred": jnp.concatenate(preds),
+           "fallback_bloom": fb_bloom, "fallback_orig": fb_orig,
+           "fallback_rows": fb_rows}
     return loss, aux
 
 
@@ -125,14 +135,21 @@ def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
                        batch, key, node_table, train: bool):
     from matcha_tpu.models.hypersagnn import forward_buckets
     xs, ws = {}, {}
+    fb_bloom = jnp.zeros((), jnp.int32)
+    fb_orig = jnp.zeros((), jnp.int32)
+    fb_rows = jnp.zeros((), jnp.int32)
     for k in sorted(batch.keys()):
         pos, w = batch[k]
         key, k_neg = jax.random.split(key)
-        neg = sample_negatives(k_neg, pos, table, settings.min_distance,
-                               None if blooms is None else blooms[k],
-                               neg_num=settings.neg_num,
-                               max_trials=settings.max_trials,
-                               hard_ratio=settings.hard_ratio)
+        neg, st = sample_negatives_with_stats(
+            k_neg, pos, table, settings.min_distance,
+            None if blooms is None else blooms[k],
+            neg_num=settings.neg_num, max_trials=settings.max_trials,
+            extra_rounds=settings.extra_rounds,
+            hard_ratio=settings.hard_ratio)
+        fb_bloom += st["bloom_fallback"]
+        fb_orig += st["orig_fallback"]
+        fb_rows += st["rows"]
         xs[k] = jnp.concatenate([pos, neg], axis=0)
         ws[k] = w
     key, k_fwd = jax.random.split(key)
@@ -155,7 +172,9 @@ def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
     total_bce = total_bce / n_buckets
     loss = settings.alpha * total_bce + settings.beta * recon
     aux = {"bce": total_bce, "recon": recon,
-           "pred": jnp.concatenate(preds)}
+           "pred": jnp.concatenate(preds),
+           "fallback_bloom": fb_bloom, "fallback_orig": fb_orig,
+           "fallback_rows": fb_rows}
     return loss, aux
 
 
@@ -292,10 +311,16 @@ class Trainer:
                                           aux["pred"].reshape(-1),
                                           np.tile(size, steps))
         n = aux["pred"].size
+        rows = max(int(aux["fallback_rows"].sum()), 1)
         return {"bce": float(aux["bce"].mean()),
                 "recon": float(aux["recon"].mean()),
                 "metrics": metrics, "elapsed": elapsed,
-                "hyperedges_per_sec": n / elapsed}
+                "hyperedges_per_sec": n / elapsed,
+                # sampler telemetry: fraction of negatives that exhausted all
+                # trials and fell back to a Bloom-hit candidate (mislabeled
+                # likely-positive) or the positive itself
+                "fallback_bloom_rate": float(aux["fallback_bloom"].sum()) / rows,
+                "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
 
     def eval_epoch(self, test_buckets, batch_size: int = 96,
                    max_samples: int = 10_000, seed: int = 0):
@@ -356,10 +381,14 @@ class Trainer:
             ev = self.eval_epoch(test_buckets, batch_size=batch_size,
                                  seed=seed + epoch)
             roc, aupr, acc = format_metrics(tr["metrics"])
+            fb = ""
+            if tr["fallback_bloom_rate"] or tr["fallback_orig_rate"]:
+                fb = (f" sampler-fallback bloom {tr['fallback_bloom_rate']:.2e}"
+                      f" orig {tr['fallback_orig_rate']:.2e}")
             log(f"[epoch {epoch}] train bce {tr['bce']:.4f} recon "
                 f"{tr['recon']:.4f} auc: {roc} aupr: {aupr} "
                 f"({tr['hyperedges_per_sec']:.0f} hyperedges/s, "
-                f"{tr['elapsed']:.1f}s)")
+                f"{tr['elapsed']:.1f}s){fb}")
             roc, aupr, acc = format_metrics(ev["metrics"])
             log(f"[epoch {epoch}] valid bce {ev['bce']:.4f} recon "
                 f"{ev['recon']:.4f} auc: {roc} aupr: {aupr}")

@@ -140,6 +140,45 @@ def test_change_mask_distribution():
     np.testing.assert_allclose(col, col.mean(), atol=0.02)
 
 
+def test_fallback_telemetry_dense_bloom(rng):
+    """At realistic 1 Mb unlabeled densities, chromosome-constrained k=2
+    corruption hits the Bloom filter ~50% of the time.  The bounded-parallel
+    sampler alone leaves a measurable Bloom-hit fallback residue (mislabeled
+    likely-positives); the re-trial loop must drive it to ~zero, and the
+    counters must see both."""
+    from matcha_tpu.genome import GenomeBins
+    from matcha_tpu.sampler.negative import sample_negatives_with_stats
+    g = GenomeBins(["chr1"], [248_000_000], 1_000_000)   # 1 Mb chr1: 249 nodes
+    tab = ChromTable.from_genome(g)
+    n = g.num_nodes
+    # unlabeled set = 50% of all intra-chrom pairs (dense Bloom)
+    ii, jj = np.triu_indices(n, k=1)
+    pairs = np.stack([ii + 1, jj + 1], axis=1).astype(np.int32)
+    sel = rng.random(len(pairs)) < 0.5
+    unlabeled = pairs[sel]
+    bloom = build_bloom(unlabeled)
+    pos = jnp.asarray(unlabeled[rng.permutation(len(unlabeled))[:2048]])
+
+    # old behavior (T=3, no re-trial): percent-level mislabeled negatives —
+    # the counter must measure it
+    _, st_old = jax.jit(lambda k: sample_negatives_with_stats(
+        k, pos, tab, 0, bloom, neg_num=3, max_trials=3, extra_rounds=0))(
+            jax.random.PRNGKey(0))
+    rate_old = float(st_old["bloom_fallback"]) / float(st_old["rows"])
+    assert rate_old > 1e-3, f"dense fixture should stress T=3: {rate_old}"
+
+    # current defaults (T=8 + bounded re-trial): clean
+    neg, st = jax.jit(lambda k: sample_negatives_with_stats(
+        k, pos, tab, 0, bloom, neg_num=3))(jax.random.PRNGKey(0))
+    rate = float(st["bloom_fallback"]) / float(st["rows"])
+    assert rate <= 1e-4, f"fallback rate too high with re-trial: {rate}"
+    assert float(st["orig_fallback"]) == 0
+    # and the negatives really are clean: none in the unlabeled set
+    member = set(map(tuple, unlabeled.tolist()))
+    dup = sum(tuple(r) in member for r in np.asarray(neg).tolist())
+    assert dup <= int(st["bloom_fallback"])
+
+
 def test_assemble_batch(table, rng):
     g, _ = table
     pos = jnp.asarray(_random_positives(g, rng, 4, 2))
