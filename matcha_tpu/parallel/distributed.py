@@ -1,9 +1,10 @@
-"""Multi-host runtime initialization.
+"""Multi-host runtime initialization and host-local data feeding.
 
 The TPU-native replacement for the reference's absent distributed backend
-(SURVEY §2.15): ``jax.distributed`` multi-process SPMD.  Each host runs the
-same program; the global mesh spans every chip of the slice; batches are fed
-host-locally (each host materializes its shard of the "data" axis).
+(SURVEY §2.15): ``jax.distributed`` multi-controller SPMD.  Each host runs
+the same program; the global mesh spans every chip of the slice; batches are
+fed host-locally (each process materializes ON DEVICE only the shards of the
+"data" axis its chips own — see ``put_global``).
 
 Typical pod-slice launch (one process per host):
 
@@ -13,6 +14,8 @@ Typical pod-slice launch (one process per host):
     trainer = Trainer(..., mesh=mesh)
 
 On a single host this is a no-op and the mesh covers the local devices.
+The multi-process path is exercised for real by tests/test_multiprocess.py
+(2 OS processes x 2 virtual CPU devices) and by ``dryrun_multichip``.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import numpy as np
 
 from matcha_tpu.parallel.mesh import make_mesh
 
@@ -51,9 +55,31 @@ def global_mesh(n_model: int = 1):
     return make_mesh(n_model=n_model)
 
 
-def local_batch_slice(global_batch: int) -> slice:
-    """The [start, stop) rows of a global batch this process should feed
-    (host-local data loading for the "data" axis)."""
-    per = global_batch // jax.process_count()
-    i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+def put_global(x, sharding) -> jax.Array:
+    """Place a host value under ``sharding`` as a GLOBAL array, multi-process
+    safe.
+
+    Single process: plain ``device_put``.  Multi-process: every process holds
+    the same host value (deterministic data pipeline) and materializes on
+    device ONLY the shards its own devices are assigned — no process ever
+    device_puts the full global array, and the result is a global jax.Array
+    addressable-where-owned (the jax.make_array_from_callback pattern).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def replicate_to_host(tree, mesh):
+    """Gather possibly non-addressable sharded outputs to every host.
+
+    Under multi-controller SPMD, per-shard outputs of a jitted step are only
+    addressable on the process that owns them — ``jax.device_get`` on them
+    throws.  A jitted identity with fully-replicated out_shardings inserts
+    the all-gather ON DEVICE (riding ICI/DCN), after which every process can
+    read the full value."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    tree = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    return jax.device_get(tree)

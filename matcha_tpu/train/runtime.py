@@ -204,23 +204,39 @@ class Trainer:
                  blooms: Optional[Dict[int, DeviceBloomFilter]] = None,
                  seed: int = 0, mesh=None, tensor_parallel: bool = False):
         self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
         # private copy: the epoch fns donate the carried state, and
         # device_put to a replicated sharding may alias the source buffer as
         # one shard — either way the caller's param buffers must not end up
         # aliased into the donated state
         params = jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), params)
+        key = jax.random.PRNGKey(seed)
         if mesh is not None:
             # SPMD placement (parallel/mesh.py): batch on "data", node-axis
             # tables on "model"; jit compiles the step over the mesh.
+            # put_global keeps this multi-process correct: each process
+            # materializes only its own shards (host-local feed).
+            from matcha_tpu.parallel.distributed import put_global
             from matcha_tpu.parallel.mesh import (frozen_sharding,
                                                   pad_frozen_for_mesh,
                                                   param_sharding)
-            params = jax.device_put(
-                params, param_sharding(params, mesh,
-                                       tensor_parallel=tensor_parallel))
+            from jax.sharding import NamedSharding, PartitionSpec
+            params = jax.tree_util.tree_map(
+                put_global, params,
+                param_sharding(params, mesh, tensor_parallel=tensor_parallel))
             frozen = pad_frozen_for_mesh(frozen, mesh)
-            frozen = jax.device_put(frozen, frozen_sharding(frozen, mesh))
+            frozen = jax.tree_util.tree_map(
+                put_global, frozen, frozen_sharding(frozen, mesh))
+            if blooms is not None:
+                rep = NamedSharding(mesh, PartitionSpec())
+                blooms = {k: jax.tree_util.tree_map(
+                    lambda x: put_global(x, rep), f)
+                    for k, f in blooms.items()}
+            key = put_global(key, NamedSharding(mesh, PartitionSpec()))
+            chrom_table = jax.tree_util.tree_map(
+                lambda x: put_global(x, NamedSharding(mesh, PartitionSpec())),
+                chrom_table)
         self.frozen = frozen
         self.dims = dims
         self.chrom_table = chrom_table
@@ -230,7 +246,7 @@ class Trainer:
         self.optimizer = optimizer
         self.state = TrainState(params=params,
                                 opt_state=optimizer.init(params),
-                                key=jax.random.PRNGKey(seed))
+                                key=key)
         dims_c, settings_c = dims, settings
 
         # IMPORTANT: frozen tables / Bloom bitsets / chrom tables are passed
@@ -290,20 +306,33 @@ class Trainer:
 
     # ------------------------------------------------------------- epochs
     def _place_batch(self, stacked):
+        """Host epoch arrays -> device.  Under a mesh, the batch axis shards
+        on "data"; multi-process, each process device_puts ONLY its own
+        shards (host-local feed via put_global — every process runs the same
+        deterministic batcher, so the host value is available everywhere and
+        the non-local rows are never transferred)."""
         if self.mesh is None:
-            return stacked
+            return jax.tree_util.tree_map(jnp.asarray, stacked)
+        from matcha_tpu.parallel.distributed import put_global
         from matcha_tpu.parallel.mesh import batch_sharding
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, batch_sharding(self.mesh, x.ndim)), stacked)
+            lambda x: put_global(x, batch_sharding(self.mesh, x.ndim)),
+            stacked)
+
+    def _gather_aux(self, aux):
+        """Fetch per-epoch outputs to host.  Multi-process, scan outputs are
+        sharded with non-addressable shards — all-gather them on device
+        first (jax.device_get on them would throw on a real pod slice)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            from matcha_tpu.parallel.distributed import replicate_to_host
+            return replicate_to_host(aux, self.mesh)
+        return jax.device_get(aux)
 
     def train_epoch(self, batcher: BucketedBatcher):
-        stacked = {k: (jnp.asarray(e), jnp.asarray(w))
-                   for k, (e, w) in batcher.next_epoch().items()}
-        stacked = self._place_batch(stacked)
+        stacked = self._place_batch(batcher.next_epoch())
         t0 = time.time()
         self.state, aux = self._train_epoch_fn(self.state, stacked)
-        aux = jax.device_get(aux)
+        aux = self._gather_aux(aux)
         elapsed = time.time() - t0
         y, size = labels_for_batch(stacked, self.settings)
         steps = aux["pred"].shape[0]
@@ -340,11 +369,11 @@ class Trainer:
         for k, (e, w) in sorted(test_buckets.items()):
             bs = plan[k]
             idx = rng.permutation(len(e))[:n_batches * bs]
-            stacked[k] = (jnp.asarray(e[idx].reshape(n_batches, bs, k)),
-                          jnp.asarray(w[idx].reshape(n_batches, bs)))
+            stacked[k] = (e[idx].reshape(n_batches, bs, k),
+                          w[idx].reshape(n_batches, bs))
         stacked = self._place_batch(stacked)
         self.state, aux = self._eval_epoch_fn(self.state, stacked)
-        aux = jax.device_get(aux)
+        aux = self._gather_aux(aux)
         y, size = labels_for_batch(stacked, self.settings)
         steps = aux["pred"].shape[0]
         metrics = size_stratified_metrics(np.tile(y, steps),
@@ -400,16 +429,31 @@ class Trainer:
                 best = val_aupr
                 save_checkpoint(checkpoint_path, self.state.params,
                                 self.state.opt_state, epoch)
-        if checkpoint_path and os.path.exists(checkpoint_path):
-            self.state = self.state._replace(
-                params=load_checkpoint(checkpoint_path))
+        if checkpoint_path:
+            if jax.process_count() > 1:
+                # make sure process 0 finished writing before anyone reloads
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("matcha_ckpt_reload")
+            if os.path.exists(checkpoint_path):
+                params = load_checkpoint(checkpoint_path)
+                if self.mesh is not None:
+                    from matcha_tpu.parallel.distributed import put_global
+                    from matcha_tpu.parallel.mesh import param_sharding
+                    params = jax.tree_util.tree_map(
+                        put_global, params,
+                        param_sharding(params, self.mesh,
+                                       tensor_parallel=self.tensor_parallel))
+                self.state = self.state._replace(params=params)
         return history
 
     def export_embeddings(self, path: str) -> np.ndarray:
         """Per-node embedding export (ref save_embeddings,
         Code/main.py:462-479 -> ../embeddings.npy)."""
-        emb = np.asarray(node_embeddings(self.state.params, self.frozen,
-                                         self.dims))
+        emb = node_embeddings(self.state.params, self.frozen, self.dims)
+        if self.mesh is not None and jax.process_count() > 1:
+            from matcha_tpu.parallel.distributed import replicate_to_host
+            emb = replicate_to_host(emb, self.mesh)
+        emb = np.asarray(emb)
         np.save(path, emb)
         return emb
 
@@ -418,7 +462,13 @@ class Trainer:
 def save_checkpoint(path: str, params, opt_state=None, epoch=None) -> None:
     """Best-model checkpoint (parity with ref {'model_link', 'epoch'} dict,
     Code/main.py:316-322, extended with optimizer state for true resume —
-    the reference cannot resume mid-stage, SURVEY §5.4)."""
+    the reference cannot resume mid-stage, SURVEY §5.4).
+
+    Multi-process: state is replicated (addressable everywhere); process 0
+    writes, others no-op (reload assumes a shared filesystem, the usual pod
+    setup; orbax provides the per-host alternative)."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump({"params": jax.device_get(params),

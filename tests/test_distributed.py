@@ -1,9 +1,13 @@
-"""Multi-host init helpers (single-process semantics on the test mesh)."""
+"""Multi-host init helpers (single-process semantics on the test mesh).
+The real multi-process path is exercised by tests/test_multiprocess.py."""
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from matcha_tpu.parallel.distributed import (global_mesh, init_distributed,
-                                             local_batch_slice)
+                                             put_global, replicate_to_host)
+from matcha_tpu.parallel.mesh import batch_sharding
 
 
 def test_init_noop_single_process():
@@ -17,6 +21,11 @@ def test_global_mesh_covers_devices():
     assert mesh.shape["model"] == 2
 
 
-def test_local_batch_slice():
-    s = local_batch_slice(256)
-    assert s == slice(0, 256)   # single process feeds the whole batch
+def test_put_global_and_replicate_roundtrip():
+    mesh = global_mesh(n_model=1)
+    x = np.arange(4 * 16 * 3, dtype=np.int32).reshape(4, 16, 3)
+    g = put_global(x, batch_sharding(mesh, x.ndim))
+    assert g.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(g), x)
+    back = replicate_to_host(g, mesh)
+    np.testing.assert_array_equal(back, x)
