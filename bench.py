@@ -40,9 +40,10 @@ def main():
     # persistent executable cache: repeat bench invocations skip compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if os.environ.get("MATCHA_PRNG"):
-        # "rbg" = hardware RNG, much cheaper dropout masks than threefry
-        jax.config.update("jax_default_prng_impl", os.environ["MATCHA_PRNG"])
+    # "rbg" = hardware RNG — much cheaper random bits (dropout masks, sampler
+    # trials) than threefry; same statistical quality, default on TPU.
+    jax.config.update("jax_default_prng_impl",
+                      os.environ.get("MATCHA_PRNG", "rbg"))
     import jax.numpy as jnp
     from __graft_entry__ import _build_problem, _random_buckets
     from matcha_tpu.data.batcher import BucketedBatcher
@@ -62,18 +63,22 @@ def main():
     buckets = _random_buckets(genome, rng, n_edges=max(4 * BATCH, 20_000),
                               k_list=K_LIST)
     blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
+    settings = TrainSettings(
+        alpha=1.0, beta=0.001, neg_num=3,
+        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "padded"))
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
-                      TrainSettings(alpha=1.0, beta=0.001, neg_num=3),
-                      blooms=blooms)
-    batcher = BucketedBatcher(buckets, batch_size=BATCH,
-                              num_batch_per_iter=STEPS_PER_CHUNK)
+                      settings, blooms=blooms)
+    # device-resident epochs: data pinned in HBM, permutations drawn on
+    # device — no host batcher work in the measured loop
+    trainer.prepare_device_epochs(buckets, batch_size=BATCH,
+                                  num_batch_per_iter=STEPS_PER_CHUNK)
 
     # hyperedges scored per step: per k bucket, BATCH pos + 3*BATCH neg
     per_step = len(K_LIST) * BATCH * 4
 
     rates = []
     for chunk in range(CHUNKS):
-        r = trainer.train_epoch(batcher)
+        r = trainer.train_epoch_device()
         rate = per_step * STEPS_PER_CHUNK / r["elapsed"]
         rates.append(rate)
         print(f"# chunk {chunk}: {rate:,.0f} hyperedges/s "

@@ -88,15 +88,16 @@ def _geometry(capacity: int, error_rate: float,
               fast: bool = True) -> tuple[int, int]:
     """Filter sizing.
 
-    fast=True (default): 32 bits/item with 4 hashes — false-positive rate
-    (1-e^{-1/8})^4 ≈ 1.9e-4, BETTER than the reference's 1e-3 target, at 40%
-    of the per-query gather cost (4 vs ~10 hash probes); HBM is cheap.
+    fast=True (default): 64 bits/item with 2 hashes — false-positive rate
+    (1-e^{-1/32})^2 ≈ 9.5e-4, within the reference's 1e-3 target, at 20% of
+    the per-query gather cost (2 vs ~10 hash probes — random bitset gathers
+    are the sampler's HBM bottleneck on TPU); HBM is cheap.
     fast=False: classic optimal-k sizing for the requested error rate
     (pybloom_live-equivalent, ref Code/utils.py:83-85).
     """
-    if fast and error_rate >= 1.9e-4:
-        m_bits = ((capacity * 32 + 31) // 32) * 32
-        return m_bits, 4
+    if fast and error_rate >= 9.6e-4:
+        m_bits = ((capacity * 64 + 31) // 32) * 32
+        return m_bits, 2
     m_bits = int(math.ceil(-capacity * math.log(error_rate) / (math.log(2) ** 2)))
     m_bits = ((m_bits + 31) // 32) * 32
     n_hashes = max(1, round(m_bits / capacity * math.log(2)))

@@ -63,6 +63,34 @@ def _truncated_binomial_cdf(k: int) -> np.ndarray:
     return np.cumsum(pmf)
 
 
+# optimal sorting networks (compare-exchange index pairs) for tiny widths;
+# jnp.sort lowers to a general sort HLO that is far slower on TPU than a
+# handful of vectorized min/max ops over (N, k) columns
+_SORT_NETS = {
+    1: [],
+    2: [(0, 1)],
+    3: [(0, 2), (0, 1), (1, 2)],
+    4: [(0, 2), (1, 3), (0, 1), (2, 3), (1, 2)],
+    5: [(0, 3), (1, 4), (0, 2), (1, 3), (0, 1), (2, 4), (1, 2), (3, 4),
+        (2, 3)],
+    6: [(0, 5), (1, 3), (2, 4), (1, 2), (3, 4), (0, 3), (2, 5), (0, 1),
+        (2, 3), (4, 5), (1, 2), (3, 4)],
+}
+
+
+def sort_small(x: jnp.ndarray) -> jnp.ndarray:
+    """Sort the trailing axis (width <= 6) with a fixed sorting network."""
+    k = x.shape[-1]
+    if k not in _SORT_NETS:
+        return jnp.sort(x, axis=-1)
+    cols = [x[..., i] for i in range(k)]
+    for i, j in _SORT_NETS[k]:
+        lo = jnp.minimum(cols[i], cols[j])
+        hi = jnp.maximum(cols[i], cols[j])
+        cols[i], cols[j] = lo, hi
+    return jnp.stack(cols, axis=-1)
+
+
 def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
     """(n, k) bool mask with row-wise count ~ truncated Binomial(k, 1/2),
     positions uniform without replacement."""
@@ -126,7 +154,7 @@ def sample_negatives_with_stats(
         returns (sorted candidate, gaps-ok, accepted)."""
         u = jax.random.uniform(k_round, (n, k))
         cand = (lo + jnp.floor((hi - lo) * u)).astype(jnp.int32)
-        t = jnp.sort(jnp.where(change, cand, orig), axis=-1)
+        t = sort_small(jnp.where(change, cand, orig))
         ok = jnp.all(jnp.diff(t, axis=-1) > min_distance, axis=-1)
         return t, ok, ok & ~bloom.contains(t)
 
@@ -140,7 +168,7 @@ def sample_negatives_with_stats(
     u = jax.random.uniform(kt, (T, n, k))
     cand = (lo[None] + jnp.floor((hi - lo)[None] * u)).astype(jnp.int32)
     temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
-    temp = jnp.sort(temp, axis=-1)
+    temp = sort_small(temp)
     ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)
     accept = ok & ~bloom.contains(temp)                 # distinct+gap+miss
     # first accepted trial; else first structurally-valid; else original

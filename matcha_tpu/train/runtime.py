@@ -57,6 +57,17 @@ class TrainSettings(NamedTuple):
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
     task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)
     hard_ratio: float = 1.0      # legacy pair_ratio negative mixing
+    # "padded": one uniform (sum_k 4*B_k, k_max) pad-id-0 batch through a
+    #   single forward — EXACTLY the reference's training-time semantics (its
+    #   mixed-size batches pad to the max size and pads participate as
+    #   attention keys, the never-applied-mask quirk, ref Code/main.py:436-437
+    #   + Code/Modules.py:611-613); one attention kernel instantiation.
+    # "merged": per-k no-pad attention + merged token stream for the rest
+    #   (the "clean" semantics; k<5 edges see no pad keys).
+    # "hybrid": merged stream, k=2 closed form, one padded attention kernel
+    #   for all k>=3 (pads-as-keys for k in 3..max-1, as the reference) —
+    #   merged-level throughput at ~1/3 the cold-compile cost.
+    token_stream: str = "hybrid"
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
@@ -73,6 +84,9 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
     (models.forward_buckets) — all per-token stages once over the
     concatenated buckets; regress mode keeps the per-bucket path."""
     if settings.task_mode != "regress":
+        if settings.token_stream == "padded" and len(batch) > 1:
+            return _batch_loss_padded(params, frozen, dims, table, blooms,
+                                      settings, batch, key, node_table, train)
         return _batch_loss_merged(params, frozen, dims, table, blooms,
                                   settings, batch, key, node_table, train)
     total_bce = 0.0
@@ -131,9 +145,9 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
     return loss, aux
 
 
-def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
-                       batch, key, node_table, train: bool):
-    from matcha_tpu.models.hypersagnn import forward_buckets
+def _sample_all_negatives(table, blooms, settings, batch, key):
+    """Per-k negative sampling over a batch dict; returns ({k: x=(pos;neg)},
+    {k: weights}, fallback counters)."""
     xs, ws = {}, {}
     fb_bloom = jnp.zeros((), jnp.int32)
     fb_orig = jnp.zeros((), jnp.int32)
@@ -152,10 +166,12 @@ def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
         fb_rows += st["rows"]
         xs[k] = jnp.concatenate([pos, neg], axis=0)
         ws[k] = w
-    key, k_fwd = jax.random.split(key)
-    logits, recon = forward_buckets(params, frozen, dims, xs, key=k_fwd,
-                                    train=train, return_recon=True,
-                                    node_table=node_table)
+    return xs, ws, (fb_bloom, fb_orig, fb_rows)
+
+
+def _bucket_bce_and_preds(logits, batch, ws):
+    """Weighted BCE averaged over buckets + concatenated sigmoid preds,
+    given per-k logits for (pos;neg) rows."""
     total_bce = 0.0
     preds = []
     for k in sorted(batch.keys()):
@@ -168,11 +184,52 @@ def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
         total_bce = total_bce + jnp.mean(
             ww * optax.sigmoid_binary_cross_entropy(lg, y))
         preds.append(jax.nn.sigmoid(lg).reshape(-1))
-    n_buckets = len(batch)
-    total_bce = total_bce / n_buckets
+    return total_bce / len(batch), jnp.concatenate(preds)
+
+
+def _batch_loss_padded(params, frozen, dims, table, blooms, settings,
+                       batch, key, node_table, train: bool):
+    """One uniform pad-id-0 batch through a single `forward` call — the
+    reference's training-time semantics exactly (pads participate as
+    attention keys; masked mean over real positions) with ONE attention
+    kernel instantiation for all sizes."""
+    key, k_neg, k_fwd = jax.random.split(key, 3)
+    xs, ws, (fb_bloom, fb_orig, fb_rows) = _sample_all_negatives(
+        table, blooms, settings, batch, k_neg)
+    ks = sorted(batch.keys())
+    L = max(ks)
+    x_all = jnp.concatenate(
+        [jnp.pad(xs[k], ((0, 0), (0, L - k))) for k in ks], axis=0)
+    logits_all, recon = forward(params, frozen, dims, x_all, key=k_fwd,
+                                train=train, return_recon=True,
+                                node_table=node_table)
+    logits, off = {}, 0
+    for k in ks:
+        n_k = xs[k].shape[0]
+        logits[k] = jax.lax.dynamic_slice_in_dim(logits_all, off, n_k)
+        off += n_k
+    total_bce, preds = _bucket_bce_and_preds(logits, batch, ws)
     loss = settings.alpha * total_bce + settings.beta * recon
-    aux = {"bce": total_bce, "recon": recon,
-           "pred": jnp.concatenate(preds),
+    aux = {"bce": total_bce, "recon": recon, "pred": preds,
+           "fallback_bloom": fb_bloom, "fallback_orig": fb_orig,
+           "fallback_rows": fb_rows}
+    return loss, aux
+
+
+def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
+                       batch, key, node_table, train: bool):
+    from matcha_tpu.models.hypersagnn import forward_buckets
+    key, k_neg, k_fwd = jax.random.split(key, 3)
+    xs, ws, (fb_bloom, fb_orig, fb_rows) = _sample_all_negatives(
+        table, blooms, settings, batch, k_neg)
+    mode = "pad-max" if settings.token_stream == "hybrid" else "per-k"
+    logits, recon = forward_buckets(params, frozen, dims, xs, key=k_fwd,
+                                    train=train, return_recon=True,
+                                    node_table=node_table,
+                                    attention_mode=mode)
+    total_bce, preds = _bucket_bce_and_preds(logits, batch, ws)
+    loss = settings.alpha * total_bce + settings.beta * recon
+    aux = {"bce": total_bce, "recon": recon, "pred": preds,
            "fallback_bloom": fb_bloom, "fallback_orig": fb_orig,
            "fallback_rows": fb_rows}
     return loss, aux
@@ -278,6 +335,30 @@ class Trainer:
                                    blooms if has_blooms else None)
             return jax.lax.scan(step, state, stacked)
 
+        @partial(jax.jit, donate_argnums=0,
+                 static_argnames=("steps", "batch", "has_blooms"))
+        def device_epoch_fn(state, full, frozen, table, blooms, steps, batch,
+                            has_blooms):
+            """One epoch with the data already resident on device: draw a
+            fresh permutation per bucket ON DEVICE, then scan gathered
+            batches — zero host work in the loop."""
+            key = state.key
+            idxs = {}
+            for k in sorted(full.keys()):
+                key, kp = jax.random.split(key)
+                n = full[k][0].shape[0]
+                idxs[k] = jax.random.permutation(kp, n)[
+                    : steps * batch].reshape(steps, batch)
+            state = TrainState(state.params, state.opt_state, key)
+            step = train_step_with(frozen, table,
+                                   blooms if has_blooms else None)
+
+            def step_fn(st, idx):
+                bt = {k: (full[k][0][idx[k]], full[k][1][idx[k]])
+                      for k in full}
+                return step(st, bt)
+            return jax.lax.scan(step_fn, state, idxs)
+
         @partial(jax.jit, static_argnames=("has_blooms",))
         def eval_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):
             def eval_step(state: TrainState, batch):
@@ -301,8 +382,15 @@ class Trainer:
                                  self.chrom_table, self.blooms or {},
                                  self.blooms is not None)
 
+        def run_device_epoch(state, full, steps, batch):
+            return device_epoch_fn(state, full, self.frozen,
+                                   self.chrom_table, self.blooms or {},
+                                   steps, batch, self.blooms is not None)
+
         self._train_epoch_fn = run_train_epoch
         self._eval_epoch_fn = run_eval_epoch
+        self._device_epoch_fn = run_device_epoch
+        self._dev_buckets = None
 
     # ------------------------------------------------------------- epochs
     def _place_batch(self, stacked):
@@ -327,6 +415,57 @@ class Trainer:
             from matcha_tpu.parallel.distributed import replicate_to_host
             return replicate_to_host(aux, self.mesh)
         return jax.device_get(aux)
+
+    def prepare_device_epochs(self, train_buckets, batch_size: int,
+                              num_batch_per_iter: int) -> None:
+        """Pin the full training buckets in HBM for device-resident epochs:
+        `train_epoch_device` then draws a fresh on-device permutation per
+        epoch and runs the whole ring inside one scanned program — no host
+        shuffle or transfer in the steady-state loop (the BucketedBatcher
+        path spends 10-20 ms/step on host at bench scale).  Parity note: the
+        reference's ring buffer reshuffles on wraparound (Code/Modules.py:
+        653-681); a fresh permutation per epoch is the same distribution
+        without the carry-over pointer.  Small buckets are duplicated to
+        cover one epoch, as the reference does (Code/Modules.py:638-641)."""
+        assert self.mesh is None, \
+            "device-resident epochs are single-chip; use train_epoch on a mesh"
+        need = num_batch_per_iter * batch_size
+        dev = {}
+        for k, (e, w) in sorted(train_buckets.items()):
+            e = np.asarray(e, np.int32)
+            w = np.asarray(w, np.float32)
+            while len(e) < need:
+                e = np.concatenate([e, e])
+                w = np.concatenate([w, w])
+            dev[int(k)] = (jnp.asarray(e), jnp.asarray(w))
+        self._dev_buckets = dev
+        self._dev_steps = int(num_batch_per_iter)
+        self._dev_batch = int(batch_size)
+
+    def train_epoch_device(self):
+        """One epoch over the device-resident buckets (see
+        prepare_device_epochs)."""
+        assert self._dev_buckets is not None, "call prepare_device_epochs"
+        t0 = time.time()
+        self.state, aux = self._device_epoch_fn(
+            self.state, self._dev_buckets, self._dev_steps, self._dev_batch)
+        aux = self._gather_aux(aux)
+        elapsed = time.time() - t0
+        shapes = {k: (np.zeros((self._dev_batch, k), np.int32), None)
+                  for k in self._dev_buckets}
+        y, size = labels_for_batch(shapes, self.settings)
+        steps = aux["pred"].shape[0]
+        metrics = size_stratified_metrics(np.tile(y, steps),
+                                          aux["pred"].reshape(-1),
+                                          np.tile(size, steps))
+        n = aux["pred"].size
+        rows = max(int(aux["fallback_rows"].sum()), 1)
+        return {"bce": float(aux["bce"].mean()),
+                "recon": float(aux["recon"].mean()),
+                "metrics": metrics, "elapsed": elapsed,
+                "hyperedges_per_sec": n / elapsed,
+                "fallback_bloom_rate": float(aux["fallback_bloom"].sum()) / rows,
+                "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
 
     def train_epoch(self, batcher: BucketedBatcher):
         stacked = self._place_batch(batcher.next_epoch())
