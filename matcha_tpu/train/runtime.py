@@ -527,14 +527,27 @@ class Trainer:
             checkpoint_path: Optional[str] = None, log=print, seed: int = 0,
             metrics_logger=None, stage: str = "stage",
             profile_dir: Optional[str] = None,
-            embeddings_path: Optional[str] = None):
+            embeddings_path: Optional[str] = None,
+            checkpoint_format: str = "pickle"):
         """One stage of the schedule; returns history.  Checkpoints when the
-        largest size's validation AUPRC improves (ref Code/main.py:313-322)."""
+        largest size's validation AUPRC improves (ref Code/main.py:313-322).
+
+        checkpoint_format:
+          "pickle" — single-file host pickle (artifact parity with the
+            reference's model.chkpt; single-host only)
+          "orbax"  — async sharded orbax checkpoint under checkpoint_path
+            (a directory); each host writes its own shards, the save
+            overlaps the next epoch — the multi-controller path
+        """
         batcher = BucketedBatcher(train_buckets, batch_size,
                                   num_batch_per_iter, seed=seed)
         max_k = max(train_buckets.keys())
         best = 0.0
         history = []
+        ckpt_mgr = None
+        if checkpoint_path and checkpoint_format == "orbax":
+            from matcha_tpu.train.checkpoint import OrbaxCheckpointer
+            ckpt_mgr = OrbaxCheckpointer(checkpoint_path)
         for epoch in range(epochs):
             if embeddings_path is not None:
                 # per-epoch embedding export (ref Code/main.py:275)
@@ -566,9 +579,23 @@ class Trainer:
             val_aupr = ev["metrics"].get(max_k, ev["metrics"]["all"])["auprc"]
             if checkpoint_path and val_aupr >= best:
                 best = val_aupr
-                save_checkpoint(checkpoint_path, self.state.params,
-                                self.state.opt_state, epoch)
+                if ckpt_mgr is not None:
+                    # async: the write overlaps the next epoch's steps
+                    ckpt_mgr.save(epoch, self.state.params,
+                                  self.state.opt_state, epoch)
+                else:
+                    save_checkpoint(checkpoint_path, self.state.params,
+                                    self.state.opt_state, epoch)
         if checkpoint_path:
+            if ckpt_mgr is not None:
+                if ckpt_mgr.latest_step() is not None:
+                    # max_to_keep=1 + save-on-improvement => latest == best;
+                    # restore straight into the live sharding layout
+                    params, _, _ = ckpt_mgr.restore(
+                        like_params=self.state.params)
+                    self.state = self.state._replace(params=params)
+                ckpt_mgr.close()
+                return history
             if jax.process_count() > 1:
                 # make sure process 0 finished writing before anyone reloads
                 from jax.experimental import multihost_utils
