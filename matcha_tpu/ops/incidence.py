@@ -12,9 +12,10 @@ gathers and segment reductions instead of CSR pointer chasing.
   edge_sddmm: S[e] = sum_{u<v in e} <X[u], X[v]>         (hyperedge SDDMM)
 
 All are XLA gather/scatter/segment-sum ops; XLA lowers them onto the TPU's
-vector units and fuses the elementwise epilogues.  These back the denoise
-all-pairs scoring and any future message-passing model family over the same
-incidence store.
+vector units and fuses the elementwise epilogues.  pair_cooccurrence backs
+the hypergraph walks' first-order transition weights
+(walks/hyper.py:cooccurrence_csr); the family also serves any future
+message-passing model over the same incidence store.
 """
 
 from __future__ import annotations
@@ -73,6 +74,32 @@ def node_scatter_add(inc: PaddedIncidence, edge_feats: jnp.ndarray,
     flat_ids = inc.members.reshape(-1)
     flat_feats = jnp.repeat(edge_feats, k, axis=0)
     return jax.ops.segment_sum(flat_feats, flat_ids, num_segments=num_nodes + 1)
+
+
+def pair_cooccurrence(inc: PaddedIncidence, edge_weight: jnp.ndarray,
+                      num_nodes: int) -> jnp.ndarray:
+    """Dense node-node co-occurrence weights
+    ``W[u, v] = sum over edges e containing both u and v of w_e`` —
+    the product ``EV^T diag(w) EV`` of the walk preprocessing
+    (ref History_version/Code/random_walk_hyper.py:128-141, where
+    w_e = 1/|e| gives the first-order transition weights).
+
+    TPU-native form: ONE scatter-add over the E*k^2 per-edge member pairs
+    (fixed shapes, no CSR pointer chasing), instead of a sparse SpMM.  The
+    reference recomputes rows of this product per node across an 80-process
+    pool; here the whole matrix materializes in one fused op.
+
+    Returns (N+1, N+1) with pad row/col 0 and the diagonal zeroed.
+    """
+    m = inc.members                                  # (E, k), 0 = pad
+    _, k = m.shape
+    u = jnp.repeat(m, k, axis=1).reshape(-1)         # (E*k*k,)
+    v = jnp.tile(m, (1, k)).reshape(-1)
+    w = jnp.repeat(edge_weight, k * k)
+    w = jnp.where((u == 0) | (v == 0) | (u == v), 0.0, w)
+    n1 = num_nodes + 1
+    flat = jnp.zeros((n1 * n1,), edge_weight.dtype).at[u * n1 + v].add(w)
+    return flat.reshape(n1, n1)
 
 
 def edge_sddmm(inc: PaddedIncidence, node_feats: jnp.ndarray) -> jnp.ndarray:

@@ -19,9 +19,11 @@ Code/random_walk_hyper.py):
   * walks as in the clique walker; node ids here are 0-based (the reference
     shifts its 1-based hyperedges down by one, ref toint :436-437)
 
-The SpMM runs once as a scipy sparse product (the reference recomputes rows
-per node across an 80-process pool); tabulation is vectorized per (src,dst)
-with CSR set intersections; simulation reuses the flat alias walker.
+The first-order SpMM runs ON DEVICE as one scatter-add over padded member
+pairs (ops.incidence.pair_cooccurrence; the reference recomputes rows per
+node across an 80-process pool), falling back to scipy above the dense-buffer
+cap; tabulation is vectorized per (src,dst) with CSR set intersections;
+simulation reuses the flat alias walker.
 """
 
 from __future__ import annotations
@@ -47,20 +49,60 @@ def incidence_matrices(num_nodes: int, hyperedges):
     return EV, EV_od
 
 
+# dense (N+1)^2 f32 device buffer cap for the on-device co-occurrence path
+_DEVICE_COOC_MAX_BYTES = 2 << 30
+
+
+def cooccurrence_csr(num_nodes: int, hyperedges, backend: str = "auto"):
+    """First-order walk weights ``W[u,v] = sum_{e ∋ u,v} 1/|e|`` (diagonal
+    dropped) as scipy CSR — the ``VE_od @ EV_od`` product of
+    ref random_walk_hyper.py:128-141.
+
+    backend:
+      "device" — one scatter-add over padded member pairs on the
+        accelerator (ops.incidence.pair_cooccurrence), then a single
+        transfer of the dense result; at walk scale (≈3k nodes @ 1 Mb) this
+        replaces the scipy SpMM entirely.
+      "scipy"  — host CSR product.
+      "auto"   — device when the dense (N+1)^2 buffer is < 2 GB, else scipy.
+    """
+    if backend == "auto":
+        dense_bytes = 4 * (num_nodes + 1) ** 2
+        backend = "device" if dense_bytes < _DEVICE_COOC_MAX_BYTES else "scipy"
+    if backend == "device":
+        import jax.numpy as jnp
+        from matcha_tpu.ops.incidence import (PaddedIncidence,
+                                              pair_cooccurrence)
+        # walk node ids are 0-based (ref toint :436-437); the padded
+        # incidence reserves id 0 for padding -> shift up by one
+        shifted = [np.asarray(e, dtype=np.int64) + 1 for e in hyperedges]
+        inc = PaddedIncidence.from_ragged(shifted)
+        w_e = jnp.asarray(
+            [1.0 / max(len(e), 1) for e in hyperedges], dtype=jnp.float32)
+        W = np.asarray(pair_cooccurrence(inc, w_e, num_nodes))[1:, 1:]
+        W = csr_matrix(W)
+    else:
+        _, EV_od = incidence_matrices(num_nodes, hyperedges)
+        W = (EV_od.T @ EV_od).tocsr()
+        W.setdiag(0)
+    W.eliminate_zeros()
+    W.sort_indices()
+    return W
+
+
 def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
                      q: float = 0.25, num_walks: int = 10,
-                     walk_length: int = 80, seed: int = 0) -> np.ndarray:
+                     walk_length: int = 80, seed: int = 0,
+                     weight_backend: str = "auto") -> np.ndarray:
     """-> (num_nodes * num_walks, walk_length) walks (0-based node ids)."""
     rng = np.random.default_rng(seed)
-    EV, EV_od = incidence_matrices(num_nodes, hyperedges)
+    EV, _ = incidence_matrices(num_nodes, hyperedges)
     VE = EV.T.tocsr()
     node_degree = np.asarray(EV.sum(axis=0)).reshape(-1)
 
-    # ff = VE_od @ EV_od : (N, N) node-node weights, diagonal removed
-    W = (EV_od.T @ EV_od).tocsr()
-    W.setdiag(0)
-    W.eliminate_zeros()
-    W.sort_indices()
+    # ff = VE_od @ EV_od : (N, N) node-node weights, diagonal removed —
+    # computed on device by default (see cooccurrence_csr)
+    W = cooccurrence_csr(num_nodes, hyperedges, backend=weight_backend)
 
     # first-order tables
     dists, values = [], []

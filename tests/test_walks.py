@@ -76,6 +76,32 @@ def test_hypergraph_first_order_weights():
     assert W[0, 3] == 0
 
 
+def test_device_cooccurrence_matches_scipy():
+    """ops.incidence.pair_cooccurrence == the scipy VE_od @ EV_od product
+    (the walks' first-order weights), on both a hand graph and a random one."""
+    from matcha_tpu.walks.hyper import cooccurrence_csr
+    rng = np.random.default_rng(9)
+    cases = [HYPEREDGES]
+    n_rand = 40
+    cases.append([sorted(rng.choice(n_rand, size=rng.integers(2, 6),
+                                    replace=False))
+                  for _ in range(120)])
+    for n, edges in [(N, cases[0]), (n_rand, cases[1])]:
+        a = cooccurrence_csr(n, edges, backend="device").toarray()
+        b = cooccurrence_csr(n, edges, backend="scipy").toarray()
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_hypergraph_walks_backends_agree():
+    """Same seed, same walks, whichever backend computed the weights (the
+    small-|e| reciprocals are exact in f32 here)."""
+    w_dev = hypergraph_walks(N, HYPEREDGES, num_walks=20, walk_length=8,
+                             seed=5, weight_backend="device")
+    w_sp = hypergraph_walks(N, HYPEREDGES, num_walks=20, walk_length=8,
+                            seed=5, weight_backend="scipy")
+    np.testing.assert_array_equal(w_dev, w_sp)
+
+
 def test_hypergraph_walks_shapes_and_support():
     walks = hypergraph_walks(N, HYPEREDGES, num_walks=50, walk_length=10,
                              seed=3)
