@@ -304,12 +304,22 @@ def _bwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref, g_ref,
     gfb_ref[...] += gfb_c[0]
 
 
+def _bwd_block_edges(E: int, dtype, L: int, hd: int) -> int:
+    """bwd holds ~2x the live data of fwd (recompute + grads); bf16
+    activations buy a 2x block.  Then shrink until the ~12 live (L*be, hd)
+    f32 buffers fit the 16 MB scoped-VMEM stack with headroom (at L=5,
+    be=128 the kernel measures 16.08 MB — 77 KB over the limit)."""
+    be = max(_block_edges(E, dtype) // 2, 1)
+    while be > 8 and 12 * L * be * hd * 4 >= 12 * 2 ** 20:
+        be //= 2
+    return be
+
+
 def _bwd_pallas(x, ln, wq, wk, wv, fw, fb, g, *, n_head: int,
                 diag_mask: bool, interpret: bool = False):
     E, L, d = x.shape
     dk = wq.shape[1] // n_head
-    # bwd holds ~2x the live data of fwd; bf16 activations buy a 2x block
-    be = max(_block_edges(E, x.dtype) // 2, 1)
+    be = _bwd_block_edges(E, x.dtype, L, wq.shape[1])
     grid = (E // be,)
     kern = partial(_bwd_kernel, L=L, H=n_head, dk=dk, diag_mask=diag_mask)
     x_t = x.transpose(1, 0, 2)
