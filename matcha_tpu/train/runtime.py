@@ -390,6 +390,7 @@ class Trainer:
         self._train_epoch_fn = run_train_epoch
         self._eval_epoch_fn = run_eval_epoch
         self._device_epoch_fn = run_device_epoch
+        self._train_epoch_jit = train_epoch_fn     # raw jitted fn (lowering)
         self._dev_buckets = None
 
     # ------------------------------------------------------------- epochs
@@ -466,6 +467,15 @@ class Trainer:
                 "hyperedges_per_sec": n / elapsed,
                 "fallback_bloom_rate": float(aux["fallback_bloom"].sum()) / rows,
                 "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
+
+    def lower_train_epoch(self, stacked):
+        """Lower (don't run) the jitted train epoch for the current mesh and
+        a host epoch-batch dict — the inspection hook behind
+        scripts/comm_budget.py (compiled-HLO collective volumes)."""
+        stacked = self._place_batch(stacked)
+        return self._train_epoch_jit.lower(
+            self.state, stacked, self.frozen, self.chrom_table,
+            self.blooms or {}, self.blooms is not None)
 
     def train_epoch(self, batcher: BucketedBatcher):
         stacked = self._place_batch(batcher.next_epoch())
