@@ -333,7 +333,7 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
                     key: Optional[jax.Array] = None, train: bool = False,
                     return_recon: bool = False,
                     node_table: Optional[jnp.ndarray] = None,
-                    attention_mode: str = "per-k"):
+                    attention_mode: str = "per-k", n_shards: int = 1):
     """Forward over several per-k buckets as ONE merged token stream.
 
     Buckets contain no padding (every member is a real node id), so the
@@ -355,8 +355,14 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
         Code/Modules.py:611-613).  One attention kernel instantiation
         instead of one per k: ~3x faster cold compile, ~same throughput.
 
+    n_shards: data-parallel shard count of the batch axis.  >1 switches all
+    cross-bucket concats/splits to the shard-major layout
+    (parallel/stream.py) so they are communication-free under the mesh;
+    numerics are identical for any value (exact inverse pair).
+
     Returns ({k: (n_k, 1) logits}, recon) — recon only if return_recon.
     """
+    from matcha_tpu.parallel.stream import shard_concat, shard_split
     if key is not None:
         key, k_tab, k_rec, k_enc = jax.random.split(key, 4)
     else:
@@ -367,7 +373,8 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
 
     ks = sorted(xs.keys())
     shapes = [(int(xs[k].shape[0]), int(k)) for k in ks]
-    flat = jnp.concatenate([xs[k].reshape(-1) for k in ks])     # (T,)
+    tok_sizes = [n_k * k for (n_k, k) in shapes]
+    flat = shard_concat([xs[k].reshape(-1) for k in ks], n_shards)   # (T,)
 
     emb = node_table[flat]                                       # (T, d)
     attr = frozen.attr_table[flat].astype(dims.cdt)
@@ -379,21 +386,19 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
                 if k_enc is not None else [None] * (len(ks) + 1))
     if attention_mode == "pad-max" and len(shapes) > 1:
         dyn = _attention_pad_max(params, frozen, dims, h, shapes, keys_enc,
-                                 train, node_table)
+                                 train, node_table, n_shards)
     else:
         # per-bucket attention on static slices of the stream
         dyn_parts = []
-        off = 0
+        h_parts = shard_split(h, n_shards, tok_sizes)
         for i, (n_k, k) in enumerate(shapes):
-            hk = jax.lax.dynamic_slice_in_dim(h, off,
-                                              n_k * k).reshape(n_k, k, -1)
+            hk = h_parts[i].reshape(n_k, k, -1)
             dyn_k = mha_dynamic(params["encoder"]["mha"], hk, dims.n_head,
                                 dims.dim, dims.dim, diag_mask=dims.diag_mask,
                                 key=keys_enc[i], drop_rate=0.3, train=train,
                                 use_pallas=dims.use_pallas_attention)
             dyn_parts.append(dyn_k.reshape(n_k * k, -1))
-            off += n_k * k
-        dyn = jnp.concatenate(dyn_parts, axis=0)                 # (T, d)
+        dyn = shard_concat(dyn_parts, n_shards)                  # (T, d)
     dyn = pff(params["encoder"]["pff_n1"], dyn, residual=True,
               key=keys_enc[-1], drop_rate=0.4, train=train)
 
@@ -403,12 +408,10 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     per_pos = pff(params["pff_classifier"], out).astype(jnp.float32)  # (T,1)
 
     logits = {}
-    off = 0
-    for (n_k, k) in shapes:
-        logits[k] = jnp.mean(
-            jax.lax.dynamic_slice_in_dim(per_pos[:, 0], off, n_k * k)
-            .reshape(n_k, k), axis=-1, keepdims=True)
-        off += n_k * k
+    pp_parts = shard_split(per_pos[:, 0], n_shards, tok_sizes)
+    for i, (n_k, k) in enumerate(shapes):
+        logits[ks[i]] = jnp.mean(pp_parts[i].reshape(n_k, k), axis=-1,
+                                 keepdims=True)
 
     if return_recon:
         recon = recon_loss_fn(params, frozen, dims, flat, emb, k_rec)
@@ -417,12 +420,13 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
 
 
 def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
-                       node_table):
+                       node_table, n_shards=1):
     """pad-max attention over the merged stream (see forward_buckets):
     k=2 closed form; k>=3 padded to L with the pad token's h and run as one
     batched attention; real positions scattered back into the stream."""
     from matcha_tpu.models.modules import linear as _linear
     from matcha_tpu.models.modules import mha_dynamic
+    from matcha_tpu.parallel.stream import shard_concat, shard_split
     L = max(k for _, k in shapes)
     # h of the pad token (node id 0): zero embedding row + attr row 0
     pad_in = (node_table[0] + _linear(
@@ -431,9 +435,9 @@ def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
 
     dyn_parts = []
     padded = []
-    off = 0
+    h_parts = shard_split(h, n_shards, [n_k * k for (n_k, k) in shapes])
     for i, (n_k, k) in enumerate(shapes):
-        hk = jax.lax.dynamic_slice_in_dim(h, off, n_k * k).reshape(n_k, k, -1)
+        hk = h_parts[i].reshape(n_k, k, -1)
         if k == 2:
             dyn2 = mha_dynamic(params["encoder"]["mha"], hk, dims.n_head,
                                dims.dim, dims.dim, diag_mask=dims.diag_mask,
@@ -444,21 +448,20 @@ def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
             pad = jnp.broadcast_to(h_pad[None], (n_k, L - k, h.shape[-1]))
             padded.append((i, n_k, k,
                            jnp.concatenate([hk, pad.astype(hk.dtype)], 1)))
-        off += n_k * k
     if padded:
-        hp = jnp.concatenate([p[3] for p in padded], axis=0)    # (E, L, d)
+        hp = shard_concat([p[3] for p in padded], n_shards)     # (E, L, d)
         dynp = mha_dynamic(params["encoder"]["mha"], hp, dims.n_head,
                            dims.dim, dims.dim, diag_mask=dims.diag_mask,
                            key=keys_enc[padded[0][0]], drop_rate=0.3,
                            train=train,
                            use_pallas=dims.use_pallas_attention)
-        e_off = 0
-        for (i, n_k, k, _) in padded:
-            dyn_k = jax.lax.dynamic_slice_in_dim(dynp, e_off, n_k)[:, :k, :]
+        dynp_parts = shard_split(dynp, n_shards,
+                                 [n_k for (_, n_k, _, _) in padded])
+        for j, (i, n_k, k, _) in enumerate(padded):
+            dyn_k = dynp_parts[j][:, :k, :]
             dyn_parts.append((i, dyn_k.reshape(n_k * k, -1)))
-            e_off += n_k
     dyn_parts.sort(key=lambda t: t[0])
-    return jnp.concatenate([d for _, d in dyn_parts], axis=0)
+    return shard_concat([d for _, d in dyn_parts], n_shards)
 
 
 def node_embeddings(params: Dict, frozen: FrozenTables, dims: ModelDims,

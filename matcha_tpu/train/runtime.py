@@ -68,6 +68,10 @@ class TrainSettings(NamedTuple):
     #   for all k>=3 (pads-as-keys for k in 3..max-1, as the reference) —
     #   merged-level throughput at ~1/3 the cold-compile cost.
     token_stream: str = "hybrid"
+    # data-parallel shard count of the batch axis (set by Trainer from the
+    # mesh): cross-bucket concats use the shard-major layout so the merged
+    # stream costs zero collectives (parallel/stream.py).  1 = plain layout.
+    n_shards: int = 1
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
@@ -145,9 +149,23 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
     return loss, aux
 
 
-def _sample_all_negatives(table, blooms, settings, batch, key):
+def _resolve_ns(settings: TrainSettings, batch) -> int:
+    """Effective shard-major layout factor: settings.n_shards when every
+    bucket's row count splits evenly (pos rows and the neg_num multiple then
+    both divide), else 1 (plain layout — still correct, just resharded)."""
+    ns = settings.n_shards
+    if ns <= 1:
+        return 1
+    if all(batch[k][0].shape[-2] % ns == 0 for k in batch):
+        return ns
+    return 1
+
+
+def _sample_all_negatives(table, blooms, settings, batch, key, ns=1):
     """Per-k negative sampling over a batch dict; returns ({k: x=(pos;neg)},
-    {k: weights}, fallback counters)."""
+    {k: weights}, fallback counters).  x rows use the shard-major layout
+    for ns>1 (read back with shard_split)."""
+    from matcha_tpu.parallel.stream import shard_concat
     xs, ws = {}, {}
     fb_bloom = jnp.zeros((), jnp.int32)
     fb_orig = jnp.zeros((), jnp.int32)
@@ -164,19 +182,23 @@ def _sample_all_negatives(table, blooms, settings, batch, key):
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
         fb_rows += st["rows"]
-        xs[k] = jnp.concatenate([pos, neg], axis=0)
+        xs[k] = shard_concat([pos, neg], ns)
         ws[k] = w
     return xs, ws, (fb_bloom, fb_orig, fb_rows)
 
 
-def _bucket_bce_and_preds(logits, batch, ws):
+def _bucket_bce_and_preds(logits, batch, ws, ns=1):
     """Weighted BCE averaged over buckets + concatenated sigmoid preds,
-    given per-k logits for (pos;neg) rows."""
+    given per-k logits for (pos;neg) rows in the ns-shard-major layout."""
+    from matcha_tpu.parallel.stream import shard_split
     total_bce = 0.0
     preds = []
     for k in sorted(batch.keys()):
         n_pos = batch[k][0].shape[0]
         lg = logits[k]
+        # back to (pos; neg) original order — free (contiguous block shards)
+        lg_pos, lg_neg = shard_split(lg, ns, [n_pos, lg.shape[0] - n_pos])
+        lg = jnp.concatenate([lg_pos, lg_neg])
         y = jnp.concatenate([jnp.ones(n_pos),
                              jnp.zeros(lg.shape[0] - n_pos)])[:, None]
         ww = jnp.concatenate([ws[k].reshape(-1),
@@ -193,22 +215,21 @@ def _batch_loss_padded(params, frozen, dims, table, blooms, settings,
     reference's training-time semantics exactly (pads participate as
     attention keys; masked mean over real positions) with ONE attention
     kernel instantiation for all sizes."""
+    from matcha_tpu.parallel.stream import shard_concat, shard_split
+    ns = _resolve_ns(settings, batch)
     key, k_neg, k_fwd = jax.random.split(key, 3)
     xs, ws, (fb_bloom, fb_orig, fb_rows) = _sample_all_negatives(
-        table, blooms, settings, batch, k_neg)
+        table, blooms, settings, batch, k_neg, ns)
     ks = sorted(batch.keys())
     L = max(ks)
-    x_all = jnp.concatenate(
-        [jnp.pad(xs[k], ((0, 0), (0, L - k))) for k in ks], axis=0)
+    x_all = shard_concat(
+        [jnp.pad(xs[k], ((0, 0), (0, L - k))) for k in ks], ns)
     logits_all, recon = forward(params, frozen, dims, x_all, key=k_fwd,
                                 train=train, return_recon=True,
                                 node_table=node_table)
-    logits, off = {}, 0
-    for k in ks:
-        n_k = xs[k].shape[0]
-        logits[k] = jax.lax.dynamic_slice_in_dim(logits_all, off, n_k)
-        off += n_k
-    total_bce, preds = _bucket_bce_and_preds(logits, batch, ws)
+    parts = shard_split(logits_all, ns, [xs[k].shape[0] for k in ks])
+    logits = dict(zip(ks, parts))
+    total_bce, preds = _bucket_bce_and_preds(logits, batch, ws, ns)
     loss = settings.alpha * total_bce + settings.beta * recon
     aux = {"bce": total_bce, "recon": recon, "pred": preds,
            "fallback_bloom": fb_bloom, "fallback_orig": fb_orig,
@@ -219,15 +240,16 @@ def _batch_loss_padded(params, frozen, dims, table, blooms, settings,
 def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
                        batch, key, node_table, train: bool):
     from matcha_tpu.models.hypersagnn import forward_buckets
+    ns = _resolve_ns(settings, batch)
     key, k_neg, k_fwd = jax.random.split(key, 3)
     xs, ws, (fb_bloom, fb_orig, fb_rows) = _sample_all_negatives(
-        table, blooms, settings, batch, k_neg)
+        table, blooms, settings, batch, k_neg, ns)
     mode = "pad-max" if settings.token_stream == "hybrid" else "per-k"
     logits, recon = forward_buckets(params, frozen, dims, xs, key=k_fwd,
                                     train=train, return_recon=True,
                                     node_table=node_table,
-                                    attention_mode=mode)
-    total_bce, preds = _bucket_bce_and_preds(logits, batch, ws)
+                                    attention_mode=mode, n_shards=ns)
+    total_bce, preds = _bucket_bce_and_preds(logits, batch, ws, ns)
     loss = settings.alpha * total_bce + settings.beta * recon
     aux = {"bce": total_bce, "recon": recon, "pred": preds,
            "fallback_bloom": fb_bloom, "fallback_orig": fb_orig,
@@ -294,6 +316,10 @@ class Trainer:
             chrom_table = jax.tree_util.tree_map(
                 lambda x: put_global(x, NamedSharding(mesh, PartitionSpec())),
                 chrom_table)
+        if mesh is not None:
+            # shard-major stream layout factor = data-axis size: the merged
+            # token stream then costs zero collectives (parallel/stream.py)
+            settings = settings._replace(n_shards=int(mesh.shape["data"]))
         self.frozen = frozen
         self.dims = dims
         self.chrom_table = chrom_table

@@ -60,8 +60,12 @@ def test_sharded_step_runs_and_matches(problem):
     train_b = buckets(1)
     blooms = build_bloom_dict({k: v[0] for k, v in train_b.items()})
 
-    # single-device trainer
-    t1 = Trainer(params, frozen, dims, table, settings, blooms, seed=7)
+    # single-device trainer — same n_shards as the mesh's data axis so the
+    # shard-major stream layout (and with it the stream-level dropout-mask
+    # RNG alignment) is identical; the layout itself is proven numerically
+    # inert in tests/test_stream_sharding.py
+    t1 = Trainer(params, frozen, dims, table,
+                 settings._replace(n_shards=4), blooms, seed=7)
     # sharded trainer over a 4x2 (data x model) mesh
     mesh = make_mesh(4, 2)
     t2 = Trainer(params, frozen, dims, table, settings, blooms, seed=7,
