@@ -223,16 +223,61 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
 
 
 def recon_loss_fn(params: Dict, frozen: FrozenTables, dims: ModelDims,
-                  x_flat: jnp.ndarray, emb_flat: jnp.ndarray,
+                  x_flat: jnp.ndarray, node_table: jnp.ndarray,
                   key: jax.Array) -> jnp.ndarray:
     """Inter-chromosomal reconstruction auxiliary loss
     (ref Code/Modules.py:192-199): pick one random chromosome r; for batch
     nodes NOT on r, decode FF_r(tanh(embed)) and MSE against the z-scored
-    inter-contact row restricted to r's columns; ×100."""
+    inter-contact row restricted to r's columns; ×100.
+
+    Computed per NODE (recon_loss_node), not per token: exact, and removes
+    the (T, F) target gather that dominated the training step's HBM time."""
     if "table" in params["embed"]:
         return jnp.asarray(0.0)       # legacy Wrap_Embedding: zero recon
     r = jax.random.randint(key, (), 0, dims.num_chroms)
-    return recon_loss_with_chrom(params, frozen, dims, x_flat, emb_flat, r)
+    return recon_loss_node(params, frozen, dims, x_flat, node_table, r)
+
+
+def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
+                    x_flat: jnp.ndarray, node_table: jnp.ndarray,
+                    r) -> jnp.ndarray:
+    """Per-node restructure of recon_loss_with_chrom — exact up to f32
+    summation order (pinned in tests/test_forward_buckets.py): every token
+    of a node shares its embedding row, so the token-mean MSE equals the
+    node MSE weighted by token multiplicity.  Decodes N node rows instead
+    of T token rows (T/N ≈ 70× at bench scale) and reads the (N, F) target
+    slice instead of gathering (T, F) rows — the latter was ~10 ms/step of
+    gather HBM time, ~35% of the whole training step."""
+    R = int(min(node_table.shape[0], frozen.inter_z.shape[0],
+                frozen.chrom_of_node.shape[0]))
+    cnt = jnp.zeros((R,), jnp.float32).at[x_flat].add(1.0)
+    node_ids = jnp.arange(R)
+    w_n = cnt * ((frozen.chrom_of_node[:R] != r) & (node_ids != 0))
+
+    widths = [f.shape[1] for f in frozen.features]
+    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    f_max = int(max(widths))
+    w_stack = jnp.stack([
+        jnp.pad(p_c["w"], ((0, 0), (0, f_max - p_c["w"].shape[1])))
+        for p_c in params["embed"]["recon"]])                 # (C, d, F)
+    b_stack = jnp.stack([
+        jnp.pad(p_c["b"], (0, f_max - p_c["b"].shape[0]))
+        for p_c in params["embed"]["recon"]])                 # (C, F)
+    width_arr = jnp.asarray(widths)
+    start_arr = jnp.asarray(col_start)
+
+    cols = start_arr[r] + jnp.arange(f_max)                   # (F,)
+    col_ok = jnp.arange(f_max) < width_arr[r]
+    cols = jnp.clip(cols, 0, frozen.inter_z.shape[1] - 1)
+    target = frozen.inter_z[:R, cols].astype(jnp.float32)     # (R, F)
+    recon = (tanh(node_table[:R].astype(jnp.float32)) @ w_stack[r]
+             + b_stack[r])                                    # (R, F)
+    sq = jnp.where(col_ok[None, :], (target - recon) ** 2, 0.0)
+    per_node = jnp.sum(sq, axis=-1) / width_arr[r]
+    denom = jnp.sum(w_n)
+    loss = jnp.where(denom > 0,
+                     jnp.sum(per_node * w_n) / jnp.maximum(denom, 1.0), 0.0)
+    return loss * 100.0
 
 
 def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
@@ -321,7 +366,7 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     rest = ()
     if return_recon:
         recon = recon_loss_fn(params, frozen, dims, x.reshape(-1),
-                              emb.reshape(b * L, -1), k_rec)
+                              node_table, k_rec)
         rest += (recon,)
     if return_positions:
         rest += (per_pos[..., 0],)
@@ -414,7 +459,7 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
                                  keepdims=True)
 
     if return_recon:
-        recon = recon_loss_fn(params, frozen, dims, flat, emb, k_rec)
+        recon = recon_loss_fn(params, frozen, dims, flat, node_table, k_rec)
         return logits, recon
     return logits
 

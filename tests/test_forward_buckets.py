@@ -42,6 +42,26 @@ def test_merged_matches_per_bucket(setup):
                                    rtol=1e-5, atol=1e-6, err_msg=f"k={k}")
 
 
+def test_recon_node_matches_token_oracle(setup):
+    """The per-node recon (production path) equals the per-token oracle for
+    every chromosome draw — including repeated node ids and pad-id-0 tokens
+    (which the mask excludes)."""
+    from matcha_tpu.models.hypersagnn import (encode_node_table,
+                                              recon_loss_node)
+    dims, params, frozen, xs = setup
+    table = encode_node_table(params, frozen, dims)
+    rng = np.random.default_rng(9)
+    flat = jnp.asarray(
+        rng.integers(0, dims.num_nodes + 1, size=300), jnp.int32)
+    emb = table[flat]
+    for r in range(dims.num_chroms):
+        oracle = float(recon_loss_with_chrom(params, frozen, dims, flat,
+                                             emb, r))
+        fast = float(recon_loss_node(params, frozen, dims, flat, table, r))
+        assert abs(fast - oracle) < 1e-3 * max(1.0, abs(oracle)), (r, fast,
+                                                                   oracle)
+
+
 def test_merged_recon_matches(setup):
     dims, params, frozen, xs = setup
     from matcha_tpu.models.hypersagnn import encode_node_table
