@@ -59,14 +59,28 @@ def _hash_rows(rows, xp):
 
 @dataclasses.dataclass
 class DeviceBloomFilter:
-    """A single-size Bloom filter: uint32 bitset + geometry (jit-static)."""
+    """A single-size Bloom filter: uint32 bitset + geometry (jit-static).
+
+    blocked=True is the fast layout: both hash bits of a key live in ONE
+    uint32 word (word index from h1, the two bit positions from h2), so a
+    membership query is a SINGLE random gather instead of n_hashes — random
+    single-word bitset gathers are the negative sampler's HBM bottleneck on
+    TPU (profiled at ~0.7 ms per probe pass at bench geometry).  Sized at
+    128 bits/item the block collision math gives FP ≈ 3e-4 (two bits in one
+    ~Poisson(0.5)-loaded 32-bit word), inside the reference's 1e-3 target
+    (ref pybloom_live err=1e-3, Code/utils.py:83-85)."""
     bits: jnp.ndarray          # (m_bits // 32,) uint32
     m_bits: int                # static
     n_hashes: int              # static
+    blocked: bool = False      # static
 
     def contains(self, rows: jnp.ndarray) -> jnp.ndarray:
         """Batched membership query: (N, k) int32 -> (N,) bool (device)."""
         h1, h2 = _hash_rows(rows, jnp)
+        if self.blocked:
+            w, mask = _blocked_word_mask(h1, h2, self.bits.shape[0], jnp)
+            word = self.bits[w.astype(jnp.int32)]
+            return (word & mask) == mask
         m = jnp.uint32(self.m_bits)
         hit = jnp.ones(rows.shape[:-1], dtype=bool)
         for i in range(self.n_hashes):
@@ -76,32 +90,44 @@ class DeviceBloomFilter:
             hit = hit & (bit == jnp.uint32(1))
         return hit
 
+
+def _blocked_word_mask(h1, h2, n_words, xp):
+    """(word index, 2-bit mask) for the blocked layout — identical on
+    host (numpy) and device (jnp)."""
+    w = h1 % xp.uint32(n_words)
+    b1 = h2 & xp.uint32(31)
+    b2 = (h2 >> xp.uint32(5)) & xp.uint32(31)
+    mask = (xp.uint32(1) << b1) | (xp.uint32(1) << b2)
+    return w, mask
+
 import jax.tree_util
 
 jax.tree_util.register_pytree_node(
     DeviceBloomFilter,
-    lambda f: ((f.bits,), (f.m_bits, f.n_hashes)),
-    lambda aux, children: DeviceBloomFilter(children[0], aux[0], aux[1]))
+    lambda f: ((f.bits,), (f.m_bits, f.n_hashes, f.blocked)),
+    lambda aux, children: DeviceBloomFilter(children[0], aux[0], aux[1],
+                                            aux[2]))
 
 
 def _geometry(capacity: int, error_rate: float,
-              fast: bool = True) -> tuple[int, int]:
-    """Filter sizing.
+              fast: bool = True) -> tuple[int, int, bool]:
+    """Filter sizing -> (m_bits, n_hashes, blocked).
 
-    fast=True (default): 64 bits/item with 2 hashes — false-positive rate
-    (1-e^{-1/32})^2 ≈ 9.5e-4, within the reference's 1e-3 target, at 20% of
-    the per-query gather cost (2 vs ~10 hash probes — random bitset gathers
-    are the sampler's HBM bottleneck on TPU); HBM is cheap.
+    fast=True (default): blocked layout, 128 bits/item (4 words/item) with
+    both bits of a key in one word — ONE gather per membership query.
+    FP ≈ E[s·(s-1)]/32² + E[s]/32·P(b1=b2) with s ~ Poisson(0.5) set bits
+    per word ≈ 3e-4, within the reference's 1e-3 target; HBM is cheap and
+    random gathers are not.
     fast=False: classic optimal-k sizing for the requested error rate
     (pybloom_live-equivalent, ref Code/utils.py:83-85).
     """
-    if fast and error_rate >= 9.6e-4:
-        m_bits = ((capacity * 64 + 31) // 32) * 32
-        return m_bits, 2
+    if fast and error_rate >= 2.9e-4:
+        m_bits = ((capacity * 128 + 31) // 32) * 32
+        return m_bits, 2, True
     m_bits = int(math.ceil(-capacity * math.log(error_rate) / (math.log(2) ** 2)))
     m_bits = ((m_bits + 31) // 32) * 32
     n_hashes = max(1, round(m_bits / capacity * math.log(2)))
-    return m_bits, n_hashes
+    return m_bits, n_hashes, False
 
 
 def build_bloom(rows: np.ndarray, capacity: int | None = None,
@@ -114,18 +140,22 @@ def build_bloom(rows: np.ndarray, capacity: int | None = None,
     n = rows.shape[0]
     if capacity is None:
         capacity = 5 * max(n, 1) + 1000
-    m_bits, n_hashes = _geometry(capacity, error_rate)
+    m_bits, n_hashes, blocked = _geometry(capacity, error_rate)
 
     bits = np.zeros(m_bits // 32, dtype=np.uint32)
     if n:
         with np.errstate(over="ignore"):
             h1, h2 = _hash_rows(rows, np)
-            for i in range(n_hashes):
-                idx = (h1 + np.uint32(i) * h2) % np.uint32(m_bits)
-                np.bitwise_or.at(bits, idx >> np.uint32(5),
-                                 np.uint32(1) << (idx & np.uint32(31)))
+            if blocked:
+                w, mask = _blocked_word_mask(h1, h2, bits.shape[0], np)
+                np.bitwise_or.at(bits, w, mask)
+            else:
+                for i in range(n_hashes):
+                    idx = (h1 + np.uint32(i) * h2) % np.uint32(m_bits)
+                    np.bitwise_or.at(bits, idx >> np.uint32(5),
+                                     np.uint32(1) << (idx & np.uint32(31)))
     return DeviceBloomFilter(bits=jnp.asarray(bits), m_bits=m_bits,
-                             n_hashes=n_hashes)
+                             n_hashes=n_hashes, blocked=blocked)
 
 
 def build_bloom_dict(unlabeled: Dict[int, np.ndarray],
