@@ -187,24 +187,30 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
                                   diag_mask, True)
         key, kd = jax.random.split(key) if key is not None else (None, None)
         return dropout(kd, out, drop_rate, train)
-    q = layer_norm(p["ln_q"], x) @ p["wq"].astype(x.dtype)
-    k = layer_norm(p["ln_k"], x) @ p["wk"].astype(x.dtype)
-    v = layer_norm(p["ln_v"], x) @ p["wv"].astype(x.dtype)
-    q = q.reshape(b, L, n_head, d_k).transpose(0, 2, 1, 3)
-    k = k.reshape(b, L, n_head, d_k).transpose(0, 2, 1, 3)
-    v = v.reshape(b, L, n_head, d_v).transpose(0, 2, 1, 3)
-
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(d_k)
-    if diag_mask:
-        eye = jnp.eye(L, dtype=bool)
-        scores = jnp.where(eye[None, None], -1e32, scores)  # ref :443-445
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)  # softmax in f32
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(b, L, n_head * d_v)
-    out = linear(p["fc1"], out)
+    # TPU-shaped formulation: the projections run as FLAT GEMMs over the
+    # (b*L, d) token stream (big MXU tiles), and the L^2<=25 score pairs run
+    # as broadcast-multiply-reduce on the vector unit — never as batched
+    # (L x d_k)@(d_k x L) matmuls, which tile the MXU at <5% for L<=5.
+    xf = x.reshape(b * L, x.shape[-1])
+    q = (layer_norm(p["ln_q"], xf) @ p["wq"].astype(x.dtype)).reshape(
+        b, L, n_head, d_k)
+    k = (layer_norm(p["ln_k"], xf) @ p["wk"].astype(x.dtype)).reshape(
+        b, L, n_head, d_k)
+    v = (layer_norm(p["ln_v"], xf) @ p["wv"].astype(x.dtype)).reshape(
+        b, L, n_head, d_v)
+    inv_temp = 1.0 / math.sqrt(d_k)
+    pos = jnp.arange(L)
+    outs = []
+    for qp in range(L):
+        # scores of query position qp against all keys: (b, L, H) in f32
+        s = jnp.sum((q[:, qp:qp + 1] * k).astype(jnp.float32),
+                    axis=-1) * inv_temp
+        if diag_mask:
+            s = jnp.where((pos == qp)[None, :, None], -1e32, s)  # ref :443-445
+        prob = jax.nn.softmax(s, axis=1).astype(x.dtype)     # softmax in f32
+        outs.append(jnp.sum(prob[..., None] * v, axis=1))    # (b, H, d_v)
+    out = jnp.stack(outs, axis=1).reshape(b * L, n_head * d_v)
+    out = linear(p["fc1"], out).reshape(b, L, -1)
     key, kd = jax.random.split(key) if key is not None else (None, None)
     return dropout(kd, out, drop_rate, train)
 
