@@ -45,6 +45,8 @@ def main():
     jax.config.update("jax_default_prng_impl",
                       os.environ.get("MATCHA_PRNG", "rbg"))
     import jax.numpy as jnp
+    from matcha_tpu.utils import warm_loop_runtime
+    warm_loop_runtime()   # overlap the backend's one-time loop-runtime init
     from __graft_entry__ import _build_problem, _random_buckets
     from matcha_tpu.data.batcher import BucketedBatcher
     from matcha_tpu.sampler.bloom import build_bloom_dict

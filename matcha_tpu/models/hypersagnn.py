@@ -28,6 +28,7 @@ Parity quirks preserved (see SURVEY.md §2.9):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -86,6 +87,23 @@ def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int],
         the inter-chromosome recon loss is 0 in this mode, as in the legacy
         Wrap_Embedding's zero recon return (History_version .../Modules.py).
     """
+    if table_init is None:
+        # one jitted dispatch for the whole tree: eager per-leaf RNG costs
+        # ~100 sequential host<->device round trips (tens of seconds on a
+        # high-latency device link; measured 50 s of the bench cold start)
+        return _init_model_jit(key, dims,
+                               tuple(int(c) for c in chrom_sizes),
+                               embedding_mode)
+    return _init_model_body(key, dims, tuple(chrom_sizes), embedding_mode,
+                            table_init)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _init_model_jit(key, dims, chrom_sizes, embedding_mode):
+    return _init_model_body(key, dims, chrom_sizes, embedding_mode, None)
+
+
+def _init_model_body(key, dims, chrom_sizes, embedding_mode, table_init):
     d = dims.dim
     keys = jax.random.split(key, 8 + 2 * len(chrom_sizes))
     if embedding_mode == "table":

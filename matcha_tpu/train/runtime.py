@@ -282,14 +282,18 @@ class Trainer:
                  chrom_table: ChromTable, settings: TrainSettings,
                  blooms: Optional[Dict[int, DeviceBloomFilter]] = None,
                  seed: int = 0, mesh=None, tensor_parallel: bool = False):
+        from matcha_tpu.utils import warm_loop_runtime
+        warm_loop_runtime()  # overlap backend loop-runtime init with setup
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
         # private copy: the epoch fns donate the carried state, and
         # device_put to a replicated sharding may alias the source buffer as
         # one shard — either way the caller's param buffers must not end up
-        # aliased into the donated state
-        params = jax.tree_util.tree_map(
-            lambda x: jnp.array(x, copy=True), params)
+        # aliased into the donated state.  ONE jitted dispatch for the whole
+        # tree: per-leaf jnp.array(copy=True) is a synchronous round trip
+        # per leaf (~40 s for 119 leaves on a high-latency device link).
+        params = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))(params)
         key = jax.random.PRNGKey(seed)
         if mesh is not None:
             # SPMD placement (parallel/mesh.py): batch on "data", node-axis
@@ -327,8 +331,10 @@ class Trainer:
         self.blooms = blooms
         optimizer = make_optimizer(settings)
         self.optimizer = optimizer
+        # jit: optax init eagerly issues one device op per moment leaf
+        # (~40 s of cold start on a high-latency link; one dispatch jitted)
         self.state = TrainState(params=params,
-                                opt_state=optimizer.init(params),
+                                opt_state=jax.jit(optimizer.init)(params),
                                 key=key)
         dims_c, settings_c = dims, settings
 
@@ -416,7 +422,8 @@ class Trainer:
         self._train_epoch_fn = run_train_epoch
         self._eval_epoch_fn = run_eval_epoch
         self._device_epoch_fn = run_device_epoch
-        self._train_epoch_jit = train_epoch_fn     # raw jitted fn (lowering)
+        self._train_epoch_jit = train_epoch_fn     # raw jitted fns (lowering
+        self._device_epoch_jit = device_epoch_fn   # / AOT-compile hooks)
         self._dev_buckets = None
 
     # ------------------------------------------------------------- epochs
