@@ -268,7 +268,16 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
     gather HBM time, ~35% of the whole training step."""
     R = int(min(node_table.shape[0], frozen.inter_z.shape[0],
                 frozen.chrom_of_node.shape[0]))
-    cnt = jnp.zeros((R,), jnp.float32).at[x_flat].add(1.0)
+    T = int(np.prod(x_flat.shape))
+    if T * R <= (1 << 31):
+        # fused broadcast-compare-reduce: a T-row scatter-add into (R,)
+        # profiles at ~1.5 ms (row-count-bound) on TPU, while T*R VPU
+        # compares reduce in ~0.2 ms at bench scale
+        cnt = jnp.sum(
+            x_flat.reshape(-1)[:, None] == jnp.arange(R)[None, :],
+            axis=0, dtype=jnp.float32)
+    else:
+        cnt = jnp.zeros((R,), jnp.float32).at[x_flat].add(1.0)
     node_ids = jnp.arange(R)
     w_n = cnt * ((frozen.chrom_of_node[:R] != r) & (node_ids != 0))
 
