@@ -80,15 +80,31 @@ def main():
     # hyperedges scored per step: per k bucket, BATCH pos + 3*BATCH neg
     per_step = len(K_LIST) * BATCH * 4
 
+    import jax as _jax
+    # chunk 0 pays compile + the backend's one-time loop-runtime init
+    t0 = time.time()
+    _jax.device_get(trainer.train_epoch_device_launch()["bce"])
+    print(f"# chunk 0: warmup (compile + backend init) "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+
+    # steady state, pipelined: chunk i+1 executes while chunk i's aux
+    # fetches — the same overlap any real trainer gets from async dispatch
     rates = []
-    for chunk in range(CHUNKS):
-        r = trainer.train_epoch_device()
-        rate = per_step * STEPS_PER_CHUNK / r["elapsed"]
+    pending = trainer.train_epoch_device_launch()
+    t_prev = time.time()
+    for chunk in range(1, CHUNKS):
+        nxt = (trainer.train_epoch_device_launch()
+               if chunk < CHUNKS - 1 else None)
+        _jax.device_get(pending["pred"])       # completes when its epoch does
+        now = time.time()
+        rate = per_step * STEPS_PER_CHUNK / (now - t_prev)
         rates.append(rate)
         print(f"# chunk {chunk}: {rate:,.0f} hyperedges/s "
-              f"(elapsed {r['elapsed']:.3f}s)", file=sys.stderr)
+              f"(elapsed {now - t_prev:.3f}s)", file=sys.stderr)
+        t_prev = now
+        pending = nxt
 
-    value = float(max(rates[1:]))   # steady state (chunk 0 pays compile)
+    value = float(max(rates))
     print(json.dumps({
         "metric": "hyperedges_scored_per_sec_per_chip_dim64_k2-5",
         "value": value,

@@ -179,8 +179,12 @@ def _bwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref, g_ref,
     q2 = jnp.dot(xq, wq_ref[...], preferred_element_type=f32).astype(x2.dtype)
     k2 = jnp.dot(xk, wk_ref[...], preferred_element_type=f32).astype(x2.dtype)
     v2 = jnp.dot(xv, wv_ref[...], preferred_element_type=f32).astype(x2.dtype)
-    q = [q2[i * be:(i + 1) * be].astype(f32) for i in range(L)]
-    k = [k2[i * be:(i + 1) * be].astype(f32) for i in range(L)]
+    # q/k stay in the input dtype (exactly the fwd kernel's recompute
+    # precision — prod is formed as (q*k).astype(f32) there too); only v is
+    # carried in f32 for the attention-weighted accumulation.  Halves the
+    # live q/k VMEM, buying a 2x backward block (be 64 -> 128).
+    q = [q2[i * be:(i + 1) * be] for i in range(L)]
+    k = [k2[i * be:(i + 1) * be] for i in range(L)]
     v = [v2[i * be:(i + 1) * be].astype(f32) for i in range(L)]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (hd, H), 0)
@@ -197,7 +201,7 @@ def _bwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref, g_ref,
             if diag_mask and i == j:
                 s.append(jnp.full((be, H), -1e32, dtype=f32))
                 continue
-            prod = q[i] * k[j]
+            prod = (q[i] * k[j]).astype(f32)
             s.append(jnp.dot(prod, seg, preferred_element_type=f32)
                      * inv_temp)
         m = s[0]
@@ -306,11 +310,13 @@ def _bwd_kernel(x_ref, ln_ref, wq_ref, wk_ref, wv_ref, fw_ref, fb_ref, g_ref,
 
 def _bwd_block_edges(E: int, dtype, L: int, hd: int) -> int:
     """bwd holds ~2x the live data of fwd (recompute + grads); bf16
-    activations buy a 2x block.  Then shrink until the ~12 live (L*be, hd)
-    f32 buffers fit the 16 MB scoped-VMEM stack with headroom (at L=5,
-    be=128 the kernel measures 16.08 MB — 77 KB over the limit)."""
+    activations buy a 2x block.  Then shrink until the live (L*be, hd)
+    buffers fit the 16 MB scoped-VMEM stack with headroom.  With q/k kept
+    in the input dtype (see _bwd_kernel) the live set is ~9 f32-equivalent
+    buffers (v + gq/gk/gv + g_attn/attn_out + q/k at half weight), which
+    admits be=128 at L=5, hd=512 (11.8 MB)."""
     be = max(_block_edges(E, dtype) // 2, 1)
-    while be > 8 and 12 * L * be * hd * 4 >= 12 * 2 ** 20:
+    while be > 8 and 9 * L * be * hd * 4 >= 12 * 2 ** 20:
         be //= 2
     return be
 

@@ -476,14 +476,22 @@ class Trainer:
         self._dev_steps = int(num_batch_per_iter)
         self._dev_batch = int(batch_size)
 
+    def train_epoch_device_launch(self):
+        """Dispatch one device-resident epoch WITHOUT blocking on its
+        outputs; returns the raw on-device aux dict.  Callers can overlap
+        the next epoch's execution with the previous epoch's host fetch
+        (the device_get of per-step predictions costs ~100-200 ms per epoch
+        over a tunneled device link); finalize with `jax.device_get`."""
+        assert self._dev_buckets is not None, "call prepare_device_epochs"
+        self.state, aux = self._device_epoch_fn(
+            self.state, self._dev_buckets, self._dev_steps, self._dev_batch)
+        return aux
+
     def train_epoch_device(self):
         """One epoch over the device-resident buckets (see
         prepare_device_epochs)."""
-        assert self._dev_buckets is not None, "call prepare_device_epochs"
         t0 = time.time()
-        self.state, aux = self._device_epoch_fn(
-            self.state, self._dev_buckets, self._dev_steps, self._dev_batch)
-        aux = self._gather_aux(aux)
+        aux = self._gather_aux(self.train_epoch_device_launch())
         elapsed = time.time() - t0
         shapes = {k: (np.zeros((self._dev_batch, k), np.int32), None)
                   for k in self._dev_buckets}
