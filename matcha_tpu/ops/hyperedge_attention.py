@@ -370,6 +370,344 @@ def _bwd_pallas(x, ln, wq, wk, wv, fw, fb, g, *, n_head: int,
             gfb.astype(fb.dtype))
 
 
+# ----------------------------------------------- feature-major (fm) kernels
+#
+# The lane-major kernels above reduce per-head scores with "seg" matmuls of
+# shape (be, 512) @ (512, 8): only 8 of the MXU's 128 output lanes carry
+# useful values, a 16x waste that profiling shows dominates both passes
+# (~5.5 ms bwd + 2.5 ms fwd per bench step).  The feature-major layout keeps
+# tokens on the LANE axis and features on the SUBLANE axis: per-head score
+# reduction becomes a leading-dim reshape-sum over sublane groups
+# ((512, be) -> (H, dk, be) -> sum axis 1), and the attention broadcast a
+# sublane-group broadcast — both full-width VPU ops with zero lane waste.
+# Projections/fc1 keep identical MXU cost (M x K x N unchanged, transposed).
+
+
+def _ffm(x, i):
+    """Position slice of a (L, d, be) block ref -> (d, be)."""
+    return x[i]
+
+
+def _fwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
+                   out_ref, *, L: int, H: int, dk: int, diag_mask: bool):
+    # Feature-major block: x_ref is (L, d, be) so "all edges, position i" is
+    # a (d, be) slice with features on sublanes and edges on lanes.
+    _, d, be = x_ref.shape
+    f32 = jnp.float32
+    ln = ln_ref[...]
+
+    def ln_fm(x, g, b, eps=1e-5):
+        x32 = x.astype(f32)
+        mu = jnp.mean(x32, axis=0, keepdims=True)
+        var = jnp.var(x32, axis=0, keepdims=True)
+        return ((x32 - mu) * jax.lax.rsqrt(var + eps)
+                * g[:, None] + b[:, None]).astype(x.dtype)
+
+    q, k, v = [], [], []
+    for i in range(L):
+        xi = _ffm(x_ref, i)                                   # (d, be)
+        q.append(jnp.dot(wqt_ref[...], ln_fm(xi, ln[0], ln[1]),
+                         preferred_element_type=f32).astype(xi.dtype))
+        k.append(jnp.dot(wkt_ref[...], ln_fm(xi, ln[2], ln[3]),
+                         preferred_element_type=f32).astype(xi.dtype))
+        v.append(jnp.dot(wvt_ref[...], ln_fm(xi, ln[4], ln[5]),
+                         preferred_element_type=f32))          # (hd, be) f32
+
+    hd = H * dk
+    inv_temp = 1.0 / math.sqrt(dk)
+
+    def head_sum(prod):                                       # (hd,be)->(H,be)
+        return jnp.sum(prod.reshape(H, dk, be), axis=1)
+
+    def head_bcast(a):                                        # (H,be)->(hd,be)
+        return jnp.broadcast_to(a[:, None, :], (H, dk, be)).reshape(hd, be)
+
+    for i in range(L):
+        s = []
+        for j in range(L):
+            if diag_mask and i == j:
+                s.append(jnp.full((H, be), -1e32, dtype=f32))
+                continue
+            prod = (q[i] * k[j]).astype(f32)                  # (hd, be)
+            s.append(head_sum(prod) * inv_temp)               # (H, be)
+        m = s[0]
+        for j in range(1, L):
+            m = jnp.maximum(m, s[j])
+        e = [jnp.exp(sj - m) for sj in s]
+        tot = e[0]
+        for j in range(1, L):
+            tot = tot + e[j]
+        inv = 1.0 / tot
+        acc = jnp.zeros((hd, be), dtype=f32)
+        for j in range(L):
+            acc = acc + head_bcast(e[j] * inv) * v[j]
+        yi = (jax.lax.dot_general(fw_ref[...], acc.astype(x_ref.dtype),
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+              + fb_ref[...].astype(f32)[:, None])             # (d, be)
+        out_ref[i] = yi.astype(x_ref.dtype)
+
+
+def _fwd_pallas_fm(x, ln, wq, wk, wv, fw, fb, *, n_head: int,
+                   diag_mask: bool, interpret: bool = False):
+    E, L, d = x.shape
+    dk = wq.shape[1] // n_head
+    be = _block_edges(E, x.dtype)
+    grid = (E // be,)
+    kern = partial(_fwd_kernel_fm, L=L, H=n_head, dk=dk, diag_mask=diag_mask)
+    x_t = x.transpose(1, 2, 0)                    # (L, d, E) feature-major
+    out_t = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, d, be), lambda i: (0, 0, i)),
+            pl.BlockSpec((6, d), lambda i: (0, 0)),
+            pl.BlockSpec((wq.shape[1], d), lambda i: (0, 0)),
+            pl.BlockSpec((wk.shape[1], d), lambda i: (0, 0)),
+            pl.BlockSpec((wv.shape[1], d), lambda i: (0, 0)),
+            pl.BlockSpec(fw.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fb.shape, lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((L, d, be), lambda i: (0, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((L, d, E), x.dtype),
+        interpret=interpret,
+    )(x_t, ln, wq.T, wk.T, wv.T, fw, fb)
+    return out_t.transpose(2, 0, 1)
+
+
+def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
+                   g_ref, gx_ref, gln_ref, gwqt_ref, gwkt_ref, gwvt_ref,
+                   gfw_ref, gfb_ref, *, L: int, H: int, dk: int,
+                   diag_mask: bool):
+    """Feature-major fused backward: same recompute-in-VMEM structure as
+    _bwd_kernel, with per-head reduce/broadcast as sublane-group ops."""
+    _, d, be = x_ref.shape
+    hd = H * dk
+    f32 = jnp.float32
+    ln = ln_ref[...]
+
+    def ln_fwd(x, g, b, eps=1e-5):
+        x32 = x.astype(f32)
+        mu = jnp.mean(x32, axis=0, keepdims=True)
+        var = jnp.var(x32, axis=0, keepdims=True)
+        inv_sigma = jax.lax.rsqrt(var + eps)
+        xhat = (x32 - mu) * inv_sigma
+        return ((xhat * g[:, None] + b[:, None]).astype(x.dtype),
+                xhat, inv_sigma)
+
+    xq, xk, xv = [], [], []
+    xhat_q, xhat_k, xhat_v = [], [], []
+    is_q, is_k, is_v = [], [], []
+    q, k, v = [], [], []
+    for i in range(L):
+        xi = _ffm(x_ref, i)
+        a_, h_, s_ = ln_fwd(xi, ln[0], ln[1])
+        xq.append(a_); xhat_q.append(h_); is_q.append(s_)
+        a_, h_, s_ = ln_fwd(xi, ln[2], ln[3])
+        xk.append(a_); xhat_k.append(h_); is_k.append(s_)
+        a_, h_, s_ = ln_fwd(xi, ln[4], ln[5])
+        xv.append(a_); xhat_v.append(h_); is_v.append(s_)
+        # q/k in input dtype (the fwd kernel's recompute precision), v in f32
+        q.append(jnp.dot(wqt_ref[...], xq[i],
+                         preferred_element_type=f32).astype(xi.dtype))
+        k.append(jnp.dot(wkt_ref[...], xk[i],
+                         preferred_element_type=f32).astype(xi.dtype))
+        v.append(jnp.dot(wvt_ref[...], xv[i], preferred_element_type=f32))
+
+    inv_temp = 1.0 / math.sqrt(dk)
+
+    def head_sum(prod):
+        return jnp.sum(prod.reshape(H, dk, be), axis=1)
+
+    def head_bcast(a):
+        return jnp.broadcast_to(a[:, None, :], (H, dk, be)).reshape(hd, be)
+
+    # forward softmax recompute, saving attn weights a[i][j] (H, be)
+    a = [[None] * L for _ in range(L)]
+    attn_out = []
+    for i in range(L):
+        s = []
+        for j in range(L):
+            if diag_mask and i == j:
+                s.append(jnp.full((H, be), -1e32, dtype=f32))
+                continue
+            prod = (q[i] * k[j]).astype(f32)
+            s.append(head_sum(prod) * inv_temp)
+        m = s[0]
+        for j in range(1, L):
+            m = jnp.maximum(m, s[j])
+        e = [jnp.exp(sj - m) for sj in s]
+        tot = e[0]
+        for j in range(1, L):
+            tot = tot + e[j]
+        inv = 1.0 / tot
+        acc = jnp.zeros((hd, be), dtype=f32)
+        for j in range(L):
+            a[i][j] = e[j] * inv
+            acc = acc + head_bcast(a[i][j]) * v[j]
+        attn_out.append(acc)                                  # (hd, be) f32
+
+    # fc1 backward (g_ref is (L, d, be))
+    g_y = [g_ref[i].astype(f32) for i in range(L)]
+    gfb_c = g_y[0]
+    for i in range(1, L):
+        gfb_c = gfb_c + g_y[i]
+    gfb_c = jnp.sum(gfb_c, axis=1)                            # (d,)
+    gfw_c = jnp.zeros((hd, d), dtype=f32)
+    g_attn = []
+    for i in range(L):
+        gfw_c = gfw_c + jax.lax.dot_general(
+            attn_out[i], g_y[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                        # (hd, d)
+        g_attn.append(jnp.dot(fw_ref[...].astype(f32), g_y[i],
+                              preferred_element_type=f32))     # (hd, be)
+
+    # attention backward
+    gq = [jnp.zeros((hd, be), f32) for _ in range(L)]
+    gk = [jnp.zeros((hd, be), f32) for _ in range(L)]
+    gv = [jnp.zeros((hd, be), f32) for _ in range(L)]
+    for i in range(L):
+        g_acc = g_attn[i]
+        ga = []
+        for j in range(L):
+            if diag_mask and i == j:
+                ga.append(jnp.zeros((H, be), f32))
+                continue
+            ga.append(head_sum(g_acc * v[j]))
+            gv[j] = gv[j] + head_bcast(a[i][j]) * g_acc
+        dot_i = jnp.zeros((H, be), f32)
+        for j in range(L):
+            dot_i = dot_i + a[i][j] * ga[j]
+        for j in range(L):
+            if diag_mask and i == j:
+                continue
+            g_s = a[i][j] * (ga[j] - dot_i) * inv_temp        # (H, be)
+            g_s_full = head_bcast(g_s)                        # (hd, be)
+            gq[i] = gq[i] + g_s_full * k[j]
+            gk[j] = gk[j] + g_s_full * q[i]
+
+    # projections backward + LayerNorm backward, per position
+    def ln_bwd(g_out, xhat, inv_sigma, g):
+        gg = jnp.sum(g_out * xhat, axis=1)                    # (d,)
+        gb = jnp.sum(g_out, axis=1)
+        gxh = g_out * g[:, None]
+        gx = inv_sigma * (gxh
+                          - jnp.mean(gxh, axis=0, keepdims=True)
+                          - xhat * jnp.mean(gxh * xhat, axis=0,
+                                            keepdims=True))
+        return gx, gg, gb
+
+    gwq_c = jnp.zeros((hd, d), f32)
+    gwk_c = jnp.zeros((hd, d), f32)
+    gwv_c = jnp.zeros((hd, d), f32)
+    ggq = gbq = ggk = gbk = ggv = gbv = jnp.zeros((d,), f32)
+    for i in range(L):
+        gwq_c = gwq_c + jax.lax.dot_general(
+            gq[i], xq[i].astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        gwk_c = gwk_c + jax.lax.dot_general(
+            gk[i], xk[i].astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        gwv_c = gwv_c + jax.lax.dot_general(
+            gv[i], xv[i].astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        g_xq = jax.lax.dot_general(wqt_ref[...].astype(f32), gq[i],
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # (d, be)
+        g_xk = jax.lax.dot_general(wkt_ref[...].astype(f32), gk[i],
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        g_xv = jax.lax.dot_general(wvt_ref[...].astype(f32), gv[i],
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        gx_q, gg, gb = ln_bwd(g_xq, xhat_q[i], is_q[i], ln[0])
+        ggq = ggq + gg; gbq = gbq + gb
+        gx_k, gg, gb = ln_bwd(g_xk, xhat_k[i], is_k[i], ln[2])
+        ggk = ggk + gg; gbk = gbk + gb
+        gx_v, gg, gb = ln_bwd(g_xv, xhat_v[i], is_v[i], ln[4])
+        ggv = ggv + gg; gbv = gbv + gb
+        gx_ref[i] = (gx_q + gx_k + gx_v).astype(x_ref.dtype)
+
+    gln_c = jnp.stack([ggq, gbq, ggk, gbk, ggv, gbv])         # (6, d)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gln_ref[...] = jnp.zeros_like(gln_ref)
+        gwqt_ref[...] = jnp.zeros_like(gwqt_ref)
+        gwkt_ref[...] = jnp.zeros_like(gwkt_ref)
+        gwvt_ref[...] = jnp.zeros_like(gwvt_ref)
+        gfw_ref[...] = jnp.zeros_like(gfw_ref)
+        gfb_ref[...] = jnp.zeros_like(gfb_ref)
+
+    gln_ref[...] += gln_c
+    gwqt_ref[...] += gwq_c
+    gwkt_ref[...] += gwk_c
+    gwvt_ref[...] += gwv_c
+    gfw_ref[...] += gfw_c
+    gfb_ref[...] += gfb_c
+
+
+def _bwd_block_edges_fm(E: int, dtype, L: int, hd: int) -> int:
+    """Feature-major blocks put edges on the LANE axis, so be must be a
+    multiple of 128 (or the whole array).  Live set ~9 f32-equivalent
+    (hd, be) buffers per position (q/k at input dtype, v/gq/gk/gv/attn_out/
+    g_attn f32) -> be=128 fits the 16 MB scoped-VMEM stack at L=5, hd=512."""
+    be = _block_edges(E, dtype)
+    while be > 128 and 9 * L * be * hd * 4 >= 12 * 2 ** 20:
+        be //= 2
+    return be
+
+
+def _bwd_pallas_fm(x, ln, wq, wk, wv, fw, fb, g, *, n_head: int,
+                   diag_mask: bool, interpret: bool = False):
+    E, L, d = x.shape
+    hd = wq.shape[1]
+    dk = hd // n_head
+    be = _bwd_block_edges_fm(E, x.dtype, L, hd)
+    grid = (E // be,)
+    kern = partial(_bwd_kernel_fm, L=L, H=n_head, dk=dk, diag_mask=diag_mask)
+    x_t = x.transpose(1, 2, 0)
+    g_t = g.transpose(1, 2, 0)
+    f32 = jnp.float32
+    gx_t, gln, gwqt, gwkt, gwvt, gfw, gfb = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, d, be), lambda i: (0, 0, i)),
+            pl.BlockSpec((6, d), lambda i: (0, 0)),
+            pl.BlockSpec((hd, d), lambda i: (0, 0)),
+            pl.BlockSpec((hd, d), lambda i: (0, 0)),
+            pl.BlockSpec((hd, d), lambda i: (0, 0)),
+            pl.BlockSpec(fw.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fb.shape, lambda i: (0,)),
+            pl.BlockSpec((L, d, be), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, d, be), lambda i: (0, 0, i)),
+            pl.BlockSpec((6, d), lambda i: (0, 0)),           # accumulated
+            pl.BlockSpec((hd, d), lambda i: (0, 0)),
+            pl.BlockSpec((hd, d), lambda i: (0, 0)),
+            pl.BlockSpec((hd, d), lambda i: (0, 0)),
+            pl.BlockSpec(fw.shape, lambda i: (0, 0)),
+            pl.BlockSpec(fb.shape, lambda i: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, d, E), x.dtype),
+            jax.ShapeDtypeStruct((6, d), f32),
+            jax.ShapeDtypeStruct((hd, d), f32),
+            jax.ShapeDtypeStruct((hd, d), f32),
+            jax.ShapeDtypeStruct((hd, d), f32),
+            jax.ShapeDtypeStruct(fw.shape, f32),
+            jax.ShapeDtypeStruct(fb.shape, f32),
+        ],
+        interpret=interpret,
+    )(x_t, ln, wq.T, wk.T, wv.T, fw, fb, g_t)
+    return (gx_t.transpose(2, 0, 1), gln.astype(ln.dtype),
+            gwqt.T.astype(wq.dtype), gwkt.T.astype(wk.dtype),
+            gwvt.T.astype(wv.dtype), gfw.astype(fw.dtype),
+            gfb.astype(fb.dtype))
+
+
 # ------------------------------------------------------------ XLA reference
 def _fwd_xla(x, ln, wq, wk, wv, fw, fb, *, n_head: int, diag_mask: bool):
     E, L, d = x.shape
@@ -395,6 +733,13 @@ def _fwd_xla(x, ln, wq, wk, wv, fw, fb, *, n_head: int, diag_mask: bool):
 
 
 # ------------------------------------------------------------- public API
+
+# kernel layout: "fm" (feature-major, default — no MXU lane waste on the
+# per-head reduce/broadcast) or "lane" (lane-major seg-matmul form)
+import os as _os
+_ATTN_IMPL = _os.environ.get("MATCHA_ATTN_IMPL", "fm")
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def hyperedge_attention(x, ln, wq, wk, wv, fw, fb, n_head: int,
                         diag_mask: bool = True, use_pallas: bool = True):
@@ -403,8 +748,9 @@ def hyperedge_attention(x, ln, wq, wk, wv, fw, fb, n_head: int,
     x: (E, L, d); ln: (6, d) packed [qg qb kg kb vg vb]; wq/wk/wv: (d, h*dk);
     fw: (h*dk, d); fb: (d,).  Returns (E, L, d)."""
     if use_pallas:
-        return _fwd_pallas(x, ln, wq, wk, wv, fw, fb, n_head=n_head,
-                           diag_mask=diag_mask)
+        fwd = _fwd_pallas_fm if _ATTN_IMPL == "fm" else _fwd_pallas
+        return fwd(x, ln, wq, wk, wv, fw, fb, n_head=n_head,
+                   diag_mask=diag_mask)
     return _fwd_xla(x, ln, wq, wk, wv, fw, fb, n_head=n_head,
                     diag_mask=diag_mask)
 
@@ -418,8 +764,9 @@ def _vjp_fwd(x, ln, wq, wk, wv, fw, fb, n_head, diag_mask, use_pallas):
 def _vjp_bwd(n_head, diag_mask, use_pallas, res, g):
     x, ln, wq, wk, wv, fw, fb = res
     if use_pallas:
-        return _bwd_pallas(x, ln, wq, wk, wv, fw, fb, g, n_head=n_head,
-                           diag_mask=diag_mask)
+        bwd = _bwd_pallas_fm if _ATTN_IMPL == "fm" else _bwd_pallas
+        return bwd(x, ln, wq, wk, wv, fw, fb, g, n_head=n_head,
+                   diag_mask=diag_mask)
     # recompute-based backward through the XLA reference formulation
     def f(x, ln, wq, wk, wv, fw, fb):
         return _fwd_xla(x, ln, wq, wk, wv, fw, fb, n_head=n_head,

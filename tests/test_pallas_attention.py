@@ -106,3 +106,34 @@ def test_bf16(rng):
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(ref, dtype=np.float32),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("L", [2, 3, 5])
+def test_fm_fwd_matches_xla(rng, L):
+    """Feature-major layout (default on TPU): tokens on lanes, features on
+    sublanes — per-head reduce/broadcast as sublane-group ops."""
+    from matcha_tpu.ops.hyperedge_attention import _fwd_pallas_fm
+    p, x, args = _setup(rng, 64, L)
+    ref = _fwd_xla(x, *args, n_head=H, diag_mask=True)
+    got = _fwd_pallas_fm(x, *args, n_head=H, diag_mask=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("diag", [True, False])
+def test_fm_bwd_matches_xla_vjp(rng, diag):
+    from matcha_tpu.ops.hyperedge_attention import _bwd_pallas_fm
+    p, x, args = _setup(rng, 64, 5)
+    g = jnp.asarray(rng.standard_normal((64, 5, D)), jnp.float32)
+
+    def f(x, *a):
+        return _fwd_xla(x, *a, n_head=H, diag_mask=diag)
+
+    _, vjp = jax.vjp(f, x, *args)
+    ref = vjp(g)
+    got = _bwd_pallas_fm(x, *args, g, n_head=H, diag_mask=diag,
+                         interpret=True)
+    names = ["gx", "gln", "gwq", "gwk", "gwv", "gfw", "gfb"]
+    for name, a, b in zip(names, got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
