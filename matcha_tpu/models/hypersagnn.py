@@ -448,7 +448,14 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     tok_sizes = [n_k * k for (n_k, k) in shapes]
     flat = shard_concat([xs[k].reshape(-1) for k in ks], n_shards)   # (T,)
 
-    emb = node_table[flat]                                       # (T, d)
+    if dims.use_pallas_attention and jax.default_backend() != "cpu":
+        # MXU one-hot-matmul VJP: the XLA scatter-add grad of this gather is
+        # latency-bound random RMW (~1.6 ms/step at bench scale) — see
+        # ops/table_scatter.py
+        from matcha_tpu.ops.table_scatter import table_gather
+        emb = table_gather(node_table, flat)                     # (T, d)
+    else:
+        emb = node_table[flat]                                   # (T, d)
     attr = frozen.attr_table[flat].astype(dims.cdt)
     attr = linear(params["attr_nn"], attr)
     h = tanh(feed_forward(params["next_w"], emb + attr))         # (T, d)

@@ -1,0 +1,97 @@
+"""Node-table gather with an MXU one-hot-matmul gradient.
+
+The training step's merged token stream gathers (T, d) embedding rows from
+the (N, d) node table (T ~ 229k tokens, N ~ 3k nodes at 1 Mb); the gather's
+VJP is a scatter-add back into the table.  XLA lowers that scatter to a
+latency-bound random read-modify-write (~7 ns/row on TPU — profiled at
+1.57 ms/step, the 3rd-largest step cost).  Dense one-hot algebra is faster
+here because N is small: grad(table) = onehot(idx)^T @ g, evaluated
+blockwise in VMEM with the one-hot built by an iota compare (VPU) and the
+contraction on the MXU — no random memory access at all.
+
+The forward gather stays the XLA gather (it IS fast: its output feeds
+compute, and N·d fits VMEM so XLA's row-gather path is fine); only the
+backward uses the Pallas kernel.  Reference equivalent being replaced:
+implicit autograd of `nn.Embedding`-style lookups (ref Code/Modules.py:58,
+`SparseEmbedding.forward` row gather).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _scatter_kernel(idx_ref, g_ref, out_ref, *, bt: int, npad: int):
+    idx = idx_ref[...]                                   # (1, bt) int32
+    g = g_ref[...]                                       # (bt, d)
+    # one-hot transposed: oneT[r, t] = (idx[t] == r) — idx broadcasts along
+    # sublanes, iota rows are the table indices
+    rows = jax.lax.broadcasted_iota(jnp.int32, (npad, bt), 0)
+    one_t = (rows == idx).astype(g.dtype)                # (npad, bt)
+    part = jax.lax.dot_general(g, one_t, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (d,npad)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += part
+
+
+def _block_tokens(T: int) -> int:
+    bt = 512
+    while T % bt != 0 and bt > 128:
+        bt //= 2
+    return bt if T % bt == 0 else 0
+
+
+def scatter_add_matmul(g: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
+                       *, interpret: bool = False) -> jnp.ndarray:
+    """sum_t onehot(idx[t]) x g[t]: (T, d), (T,) int32 -> (n_rows, d) f32."""
+    T, d = g.shape
+    npad = ((n_rows + 127) // 128) * 128
+    bt = _block_tokens(T)
+    if bt == 0 or (jax.default_backend() == "cpu" and not interpret):
+        return jnp.zeros((n_rows, d), jnp.float32).at[idx].add(
+            g.astype(jnp.float32))
+    kern = partial(_scatter_kernel, bt=bt, npad=npad)
+    out_t = pl.pallas_call(
+        kern,
+        grid=(T // bt,),
+        in_specs=[
+            pl.BlockSpec((1, bt), lambda i: (0, i)),
+            pl.BlockSpec((bt, d), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((d, npad), lambda i: (0, 0)),  # accumulated
+        out_shape=jax.ShapeDtypeStruct((d, npad), jnp.float32),
+        interpret=interpret,
+    )(idx.reshape(1, T).astype(jnp.int32), g)
+    return out_t[:, :n_rows].T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _tg(table: jnp.ndarray, idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    return table[idx]
+
+
+def _tg_fwd(table, idx, n_rows):
+    return table[idx], idx
+
+
+def _tg_bwd(n_rows, idx, g):
+    # cotangent dtype of the output equals the table's (same lookup dtype)
+    gt = scatter_add_matmul(g, idx, n_rows).astype(g.dtype)
+    return gt, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_tg.defvjp(_tg_fwd, _tg_bwd)
+
+
+def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] with the scatter-add VJP replaced by the MXU kernel."""
+    return _tg(table, idx, int(table.shape[0]))

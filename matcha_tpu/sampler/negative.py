@@ -108,7 +108,8 @@ def sample_negatives_with_stats(
         key: jax.Array, positives: jnp.ndarray, table: ChromTable,
         min_distance: int, bloom: Optional[DeviceBloomFilter], *,
         neg_num: int = 3, max_trials: int = 8, hard_ratio: float = 1.0,
-        extra_rounds: int = 32) -> Tuple[jnp.ndarray, dict]:
+        extra_rounds: int = 32,
+        max_probes: Optional[int] = None) -> Tuple[jnp.ndarray, dict]:
     """Generate (B*neg_num, k) negatives for a (B, k) positive bucket.
 
     hard_ratio: fraction of negatives corrupted chromosome-constrained at the
@@ -158,27 +159,50 @@ def sample_negatives_with_stats(
         ok = jnp.all(jnp.diff(t, axis=-1) > min_distance, axis=-1)
         return t, ok, ok & ~bloom.contains(t)
 
-    # Phase 1: T trial rounds proposed IN PARALLEL, first acceptable one
-    # selected — fixed cost, no sequential dependency.  With per-trial
-    # acceptance a ≈ P(gaps ok)·(1 - bloom hit), P(no trial accepted) =
-    # (1-a)^T; dense unlabeled sets (chromosome-constrained k=2 at 1 Mb can
-    # see 30-50% bloom-hit rates) leave a real residue, handled by phase 2.
+    # Phase 1: T trial rounds proposed IN PARALLEL (cheap VPU work: RNG +
+    # sorting networks + gap checks), but only the first S structurally-valid
+    # candidates per row are Bloom-PROBED — the probe is a random HBM gather,
+    # latency-bound at ~7 ns/row on TPU, and is the sampler's dominant cost;
+    # struct-fail trials can never be accepted, so probing them is pure
+    # waste.  Selecting the first struct-ok candidate that Bloom-misses is
+    # distribution-identical to the reference's propose-until-clean loop
+    # (iid proposals, first-acceptance order preserved); rows whose first S
+    # struct-ok candidates all hit the filter fall through to phase 2, which
+    # draws fresh iid proposals — also distribution-preserving.  Dense
+    # unlabeled sets (chromosome-constrained k=2 at 1 Mb can see 30-50%
+    # bloom-hit rates) are why S stays configurable per size.
     T = max(1, min(int(max_trials), 16))
+    S = T if max_probes is None else max(1, min(int(max_probes), T))
     key, kt = jax.random.split(key)
     u = jax.random.uniform(kt, (T, n, k))
     cand = (lo[None] + jnp.floor((hi - lo)[None] * u)).astype(jnp.int32)
     temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
     temp = sort_small(temp)
     ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)
-    accept = ok & ~bloom.contains(temp)                 # distinct+gap+miss
-    # first accepted trial; else first structurally-valid; else original
-    def first_true(mask):                               # (T, n) -> (n,)
-        return jnp.argmax(mask, axis=0), jnp.any(mask, axis=0)
 
-    acc_idx, acc_found = first_true(accept)
-    ok_idx, ok_found = first_true(ok)
-    pick = jnp.where(acc_found, acc_idx, ok_idx)
-    chosen = jnp.take_along_axis(temp, pick[None, :, None], axis=0)[0]
+    # s-th structurally-valid trial per row (trial order), s = 0..S-1 —
+    # selected with unrolled masked sums, NOT take_along_axis: an XLA gather
+    # over the (T, n, k) tensor would cost the same latency-bound HBM path
+    # the staged probing is here to avoid.
+    rank = jnp.cumsum(ok, axis=0) - 1                   # (T, n)
+    probe_rows, stage_has = [], []
+    for s in range(S):
+        m = ok & (rank == s)                            # (T, n)
+        sel = jnp.zeros((n, k), jnp.int32)
+        for t_ in range(T):
+            sel = sel + jnp.where(m[t_][:, None], temp[t_], 0)
+        probe_rows.append(sel)
+        stage_has.append(jnp.any(m, axis=0))
+    probe = jnp.stack(probe_rows)                       # (S, n, k)
+    acc_stage = jnp.stack(stage_has) & ~bloom.contains(probe)     # (S, n)
+    # first accepted stage (ascending), selected without gathers
+    acc_found = jnp.zeros((n,), bool)
+    chosen = probe[0]            # fallback: first structurally-valid; see ok
+    for s in range(S):
+        take = ~acc_found & acc_stage[s]
+        chosen = jnp.where(take[:, None], probe[s], chosen)
+        acc_found = acc_found | acc_stage[s]
+    ok_found = stage_has[0]      # any struct-ok trial exists
 
     # Phase 2: bounded sequential re-trial of ONLY the still-unaccepted rows
     # (one proposal per round, merged into failed rows) — the device analogue
@@ -220,12 +244,13 @@ def sample_negatives(key: jax.Array, positives: jnp.ndarray,
                      table: ChromTable, min_distance: int,
                      bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
                      max_trials: int = 8, hard_ratio: float = 1.0,
-                     extra_rounds: int = 32) -> jnp.ndarray:
+                     extra_rounds: int = 32,
+                     max_probes: Optional[int] = None) -> jnp.ndarray:
     """`sample_negatives_with_stats` without the counters."""
     neg, _ = sample_negatives_with_stats(
         key, positives, table, min_distance, bloom, neg_num=neg_num,
         max_trials=max_trials, hard_ratio=hard_ratio,
-        extra_rounds=extra_rounds)
+        extra_rounds=extra_rounds, max_probes=max_probes)
     return neg
 
 

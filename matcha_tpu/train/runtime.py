@@ -53,6 +53,14 @@ class TrainSettings(NamedTuple):
     min_distance: int = 0
     max_trials: int = 8       # parallel candidate rounds per negative
     extra_rounds: int = 32    # bounded re-trial of rows all T rounds missed
+    # Bloom probes per negative: only the first S structurally-valid of the
+    # T trial candidates are probed (sampler/negative.py) — the probe gather
+    # is latency-bound at ~7 ns/row on TPU and dominates sampling cost.
+    # k=2's chromosome-constrained space is dense (per-probe hit rates can
+    # reach 30-50% on real 1 Mb data), so it gets more probes; k>=3 spaces
+    # are ~n^k-sparse and 2 probes leave a ~1e-5 residue for phase 2.
+    max_probes_k2: int = 4
+    max_probes: int = 2
     learning_rate: float = 1e-3
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
     task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)
@@ -107,6 +115,8 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
             None if blooms is None else blooms[k],
             neg_num=settings.neg_num, max_trials=settings.max_trials,
             extra_rounds=settings.extra_rounds,
+            max_probes=(settings.max_probes_k2 if k == 2
+                        else settings.max_probes),
             hard_ratio=settings.hard_ratio)
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
@@ -178,6 +188,8 @@ def _sample_all_negatives(table, blooms, settings, batch, key, ns=1):
             None if blooms is None else blooms[k],
             neg_num=settings.neg_num, max_trials=settings.max_trials,
             extra_rounds=settings.extra_rounds,
+            max_probes=(settings.max_probes_k2 if k == 2
+                        else settings.max_probes),
             hard_ratio=settings.hard_ratio)
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
