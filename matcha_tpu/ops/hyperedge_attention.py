@@ -649,11 +649,16 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
 
 def _bwd_block_edges_fm(E: int, dtype, L: int, hd: int) -> int:
     """Feature-major blocks put edges on the LANE axis, so be must be a
-    multiple of 128 (or the whole array).  Live set ~9 f32-equivalent
-    (hd, be) buffers per position (q/k at input dtype, v/gq/gk/gv/attn_out/
-    g_attn f32) -> be=128 fits the 16 MB scoped-VMEM stack at L=5, hd=512."""
-    be = _block_edges(E, dtype)
-    while be > 128 and 9 * L * be * hd * 4 >= 12 * 2 ** 20:
+    multiple of 128 (or the whole array).  The kernel requests a 64 MB
+    scoped-VMEM window (see _bwd_pallas_fm) — the live set is ~9
+    f32-equivalent (hd, be) buffers per position (q/k at input dtype,
+    v/gq/gk/gv/attn_out/g_attn f32), and larger blocks amortize the
+    per-vector-op issue cost (measured: be 128 -> 512 is 2.90 -> 2.67
+    ms/step at the bench shape)."""
+    be = 512
+    while E % be != 0 and be > 1:
+        be //= 2
+    while be > 128 and 9 * L * be * hd * 4 >= 48 * 2 ** 20:
         be //= 2
     return be
 
@@ -700,6 +705,7 @@ def _bwd_pallas_fm(x, ln, wq, wk, wv, fw, fb, g, *, n_head: int,
             jax.ShapeDtypeStruct(fw.shape, f32),
             jax.ShapeDtypeStruct(fb.shape, f32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(x_t, ln, wq.T, wk.T, wv.T, fw, fb, g_t)
     return (gx_t.transpose(2, 0, 1), gln.astype(ln.dtype),

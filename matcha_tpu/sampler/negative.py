@@ -138,9 +138,26 @@ def sample_negatives_with_stats(
     key, km = jax.random.split(key)
     change = _sample_change_mask(km, n, k)
 
-    chrom = table.node2chrom[orig]                   # (n, k)
-    lo = table.chrom_start[chrom].astype(jnp.float32)
-    hi = table.chrom_end[chrom].astype(jnp.float32)
+    # per-member chromosome range WITHOUT table gathers: node ids are
+    # assigned contiguously per chromosome (ref Code/process.py:25-33), so
+    # lo/hi are a C-step monotone function of the id — C unrolled
+    # compare-selects on the VPU instead of 3 latency-bound random gathers
+    # (~7 ns/row x n*k rows was ~1.2 ms/step at bench scale).  Needs the
+    # range arrays concrete (the usual case: ChromTable is closed over by
+    # the jitted step); traced tables keep the gather path.
+    try:
+        starts = np.asarray(table.chrom_start)
+        ends = np.asarray(table.chrom_end)
+        lo = jnp.full(orig.shape, float(starts[0]), jnp.float32)
+        hi = jnp.full(orig.shape, float(ends[0]), jnp.float32)
+        for c in range(1, starts.shape[0]):
+            on_c = orig >= int(starts[c])
+            lo = jnp.where(on_c, float(starts[c]), lo)
+            hi = jnp.where(on_c, float(ends[c]), hi)
+    except jax.errors.TracerArrayConversionError:
+        chrom = table.node2chrom[orig]               # (n, k)
+        lo = table.chrom_start[chrom].astype(jnp.float32)
+        hi = table.chrom_end[chrom].astype(jnp.float32)
     if hard_ratio < 1.0:
         key, kh = jax.random.split(key)
         hard = jax.random.uniform(kh, (n, 1)) <= hard_ratio
