@@ -269,7 +269,14 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
     R = int(min(node_table.shape[0], frozen.inter_z.shape[0],
                 frozen.chrom_of_node.shape[0]))
     T = int(np.prod(x_flat.shape))
-    if T * R <= (1 << 31):
+    if dims.use_pallas_attention and jax.default_backend() != "cpu":
+        # Pallas iota-compare bincount (ops/table_scatter.py): the XLA
+        # broadcast-compare-reduce below materializes the T x R boolean
+        # through a convert (0.48 ms/step at bench scale); the kernel's
+        # blockwise compare+lane-reduce measures ~0.1 ms
+        from matcha_tpu.ops.table_scatter import bincount_f32
+        cnt = bincount_f32(x_flat.reshape(-1), R)
+    elif T * R <= (1 << 31):
         # fused broadcast-compare-reduce: a T-row scatter-add into (R,)
         # profiles at ~1.5 ms (row-count-bound) on TPU, while T*R VPU
         # compares reduce in ~0.2 ms at bench scale

@@ -74,6 +74,44 @@ def scatter_add_matmul(g: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
     return out_t[:, :n_rows].T
 
 
+def _count_kernel(idx_ref, out_ref, *, bt: int, npad: int):
+    idx = idx_ref[...]                                   # (1, bt) int32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (npad, bt), 0)
+    cnt = jnp.sum((rows == idx).astype(jnp.float32), axis=1,
+                  keepdims=True)                         # (npad, 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += cnt
+
+
+def bincount_f32(idx: jnp.ndarray, n_rows: int,
+                 *, interpret: bool = False) -> jnp.ndarray:
+    """Token counts per id: (T,) int32 -> (n_rows,) f32.
+
+    Same iota-compare structure as the scatter kernel, reduced over the
+    token lanes — replaces the XLA broadcast-compare-reduce (0.48 ms/step
+    at bench scale, T x N boolean tensor materialized through a convert)
+    and the .at[].add scatter fallback for large T*N."""
+    T = int(np.prod(idx.shape))
+    npad = ((n_rows + 127) // 128) * 128
+    bt = _block_tokens(T)
+    if bt == 0 or (jax.default_backend() == "cpu" and not interpret):
+        return jnp.zeros((n_rows,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    kern = partial(_count_kernel, bt=bt, npad=npad)
+    out = pl.pallas_call(
+        kern,
+        grid=(T // bt,),
+        in_specs=[pl.BlockSpec((1, bt), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((npad, 1), lambda i: (0, 0)),  # accumulated
+        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        interpret=interpret,
+    )(idx.reshape(1, T).astype(jnp.int32))
+    return out[:n_rows, 0]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _tg(table: jnp.ndarray, idx: jnp.ndarray, n_rows: int) -> jnp.ndarray:
     return table[idx]

@@ -47,3 +47,12 @@ def test_table_gather_vjp(rng):
     g2 = jax.jit(jax.grad(loss_ref))(table)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T,N", [(1024, 300), (640, 3068), (1000, 64)])
+def test_bincount(rng, T, N):
+    from matcha_tpu.ops.table_scatter import bincount_f32
+    idx = jnp.asarray(rng.integers(0, N, T), jnp.int32)
+    ref = jnp.zeros((N,)).at[idx].add(1.0)
+    got = bincount_f32(idx, N, interpret=(T % 128 == 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
