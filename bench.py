@@ -65,11 +65,14 @@ def main():
     buckets = _random_buckets(genome, rng, n_edges=max(4 * BATCH, 20_000),
                               k_list=K_LIST)
     blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
-    # "hybrid" measured fastest on both axes: 1.73M he/s steady vs 1.19M
-    # ("padded") / 1.60M ("merged"), cold compile ~3x faster than "merged"
+    # With the feature-major attention kernel, "merged" (per-k attention, no
+    # padded L=5 pairs for k=3/4) overtook "hybrid": 7.37M vs 6.74M he/s
+    # steady (hybrid had won at round-1 kernel costs).  Hybrid remains the
+    # Trainer default for its ~3x faster cold compile.
     settings = TrainSettings(
         alpha=1.0, beta=0.001, neg_num=3,
-        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "hybrid"))
+        max_trials=int(os.environ.get("MATCHA_MAX_TRIALS", 8)),
+        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "merged"))
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
                       settings, blooms=blooms)
     # device-resident epochs: data pinned in HBM, permutations drawn on
