@@ -273,9 +273,21 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
         # Pallas iota-compare bincount (ops/table_scatter.py): the XLA
         # broadcast-compare-reduce below materializes the T x R boolean
         # through a convert (0.48 ms/step at bench scale); the kernel's
-        # blockwise compare+lane-reduce measures ~0.1 ms
-        from matcha_tpu.ops.table_scatter import bincount_f32
-        cnt = bincount_f32(x_flat.reshape(-1), R)
+        # blockwise compare+lane-reduce measures ~0.1 ms.  Under a data
+        # mesh: per-shard counts + psum via shard_map.
+        from matcha_tpu.ops.table_scatter import (bincount_f32,
+                                                  bincount_sharded)
+        from matcha_tpu.parallel.mesh import active_data_mesh
+        mesh = active_data_mesh()
+        flat_ids = x_flat.reshape(-1)
+        if mesh is not None and T % int(mesh.shape["data"]) == 0:
+            cnt = bincount_sharded(flat_ids, R, mesh)
+        elif mesh is not None:
+            cnt = jnp.sum(
+                flat_ids[:, None] == jnp.arange(R)[None, :],
+                axis=0, dtype=jnp.float32)
+        else:
+            cnt = bincount_f32(flat_ids, R)
     elif T * R <= (1 << 31):
         # fused broadcast-compare-reduce: a T-row scatter-add into (R,)
         # profiles at ~1.5 ms (row-count-bound) on TPU, while T*R VPU
@@ -458,9 +470,21 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     if dims.use_pallas_attention and jax.default_backend() != "cpu":
         # MXU one-hot-matmul VJP: the XLA scatter-add grad of this gather is
         # latency-bound random RMW (~1.6 ms/step at bench scale) — see
-        # ops/table_scatter.py
-        from matcha_tpu.ops.table_scatter import table_gather
-        emb = table_gather(node_table, flat)                     # (T, d)
+        # ops/table_scatter.py.  Under a data mesh the kernel is
+        # shard_mapped (no GSPMD rule for Pallas custom calls); the
+        # replicated node_table is pcast-to-varying so its gradient
+        # partials psum in the transpose.
+        from matcha_tpu.ops.table_scatter import (table_gather,
+                                                  table_gather_sharded)
+        from matcha_tpu.parallel.mesh import active_data_mesh
+        mesh = active_data_mesh()
+        T_flat = int(flat.shape[0])
+        if mesh is not None and T_flat % int(mesh.shape["data"]) == 0:
+            emb = table_gather_sharded(node_table, flat, mesh)
+        elif mesh is not None:
+            emb = node_table[flat]
+        else:
+            emb = table_gather(node_table, flat)                 # (T, d)
     else:
         emb = node_table[flat]                                   # (T, d)
     attr = frozen.attr_table[flat].astype(dims.cdt)

@@ -149,6 +149,31 @@ def mha_init(key, n_head: int, d_model: int, d_k: int, d_v: int,
     }
 
 
+def mha_fused(p: Params, x, n_head: int, diag_mask: bool,
+              use_pallas: bool, mesh=None):
+    """The fused-attention call, optionally shard_mapped over the mesh's
+    "data" axis.  Replicated weight inputs are pcast-to-varying so the
+    shard_map transpose psums their per-shard gradient partials; batch
+    rows stay device-local (zero collectives in the forward)."""
+    from matcha_tpu.ops.hyperedge_attention import (_pack_ln,
+                                                    hyperedge_attention)
+    args = (_pack_ln(p), p["wq"], p["wk"], p["wv"],
+            p["fc1"]["w"], p["fc1"]["b"])
+    if mesh is None:
+        return hyperedge_attention(x, *args, n_head, diag_mask, use_pallas)
+    from jax.sharding import PartitionSpec as P
+
+    from matcha_tpu.parallel.mesh import to_varying
+
+    def inner(xx, *ws):
+        ws = tuple(to_varying(w) for w in ws)
+        return hyperedge_attention(xx, *ws, n_head, diag_mask, use_pallas)
+
+    return jax.shard_map(inner, mesh=mesh,
+                         in_specs=(P("data"),) + (P(),) * 6,
+                         out_specs=P("data"))(x, *args)
+
+
 def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
                 *, diag_mask: bool = True, key=None, drop_rate: float = 0.0,
                 train: bool = False, use_pallas: bool = False):
@@ -178,15 +203,18 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
         out = linear(p["fc1"], v[:, ::-1, :])
         key, kd = jax.random.split(key) if key is not None else (None, None)
         return dropout(kd, out, drop_rate, train)
-    if use_pallas and b % 128 == 0 and jax.default_backend() != "cpu":
-        # fused Pallas kernel: LN+qkv+attention+fc1 in one VMEM-resident pass
-        from matcha_tpu.ops.hyperedge_attention import (_pack_ln,
-                                                        hyperedge_attention)
-        out = hyperedge_attention(x, _pack_ln(p), p["wq"], p["wk"], p["wv"],
-                                  p["fc1"]["w"], p["fc1"]["b"], n_head,
-                                  diag_mask, True)
-        key, kd = jax.random.split(key) if key is not None else (None, None)
-        return dropout(kd, out, drop_rate, train)
+    if use_pallas and jax.default_backend() != "cpu":
+        from matcha_tpu.parallel.mesh import active_data_mesh
+        mesh = active_data_mesh()
+        nd = int(mesh.shape["data"]) if mesh is not None else 1
+        if b % (128 * nd) == 0:
+            # fused Pallas kernel: LN+qkv+attention+fc1 in one VMEM pass;
+            # shard_mapped over "data" when a mesh is active (Pallas custom
+            # calls have no GSPMD rule — see mha_fused / parallel.mesh)
+            out = mha_fused(p, x, n_head, diag_mask, True, mesh)
+            key, kd = jax.random.split(key) if key is not None else (None,
+                                                                     None)
+            return dropout(kd, out, drop_rate, train)
     # TPU-shaped formulation: the projections run as FLAT GEMMs over the
     # (b*L, d) token stream (big MXU tiles), and the L^2<=25 score pairs run
     # as broadcast-multiply-reduce on the vector unit — never as batched

@@ -133,3 +133,27 @@ _tg.defvjp(_tg_fwd, _tg_bwd)
 def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """table[idx] with the scatter-add VJP replaced by the MXU kernel."""
     return _tg(table, idx, int(table.shape[0]))
+
+
+def table_gather_sharded(table: jnp.ndarray, idx: jnp.ndarray,
+                         mesh) -> jnp.ndarray:
+    """table_gather shard_mapped over the mesh's "data" axis (Pallas custom
+    calls have no GSPMD rule).  The replicated table is pcast-to-varying so
+    its gradient partials psum in the shard_map transpose."""
+    from jax.sharding import PartitionSpec as P
+
+    from matcha_tpu.parallel.mesh import to_varying
+
+    def inner(tt, ii):
+        return table_gather(to_varying(tt), ii)
+
+    return jax.shard_map(inner, mesh=mesh, in_specs=(P(), P("data")),
+                         out_specs=P("data"))(table, idx)
+
+
+def bincount_sharded(idx: jnp.ndarray, n_rows: int, mesh) -> jnp.ndarray:
+    """bincount_f32 shard_mapped over "data": per-shard counts + psum."""
+    from jax.sharding import PartitionSpec as P
+    return jax.shard_map(
+        lambda ii: jax.lax.psum(bincount_f32(ii, n_rows), "data"),
+        mesh=mesh, in_specs=(P("data"),), out_specs=P())(idx)

@@ -123,3 +123,44 @@ def shard_train_inputs(mesh: Mesh, params, frozen: FrozenTables, batch):
     batch = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
     return params, frozen, batch
+
+
+# ----------------------------------------------------------- active mesh
+# Pallas custom calls have no GSPMD partitioning rule: under a sharded jit
+# they force XLA to all-gather their operands and run replicated on every
+# chip (measured: 18 all-gathers for one attention call on an 8-way data
+# mesh).  Model code therefore wraps its Pallas kernels in `jax.shard_map`
+# over the "data" axis when a mesh is active; the Trainer registers the
+# mesh here at construction (a trace-time global — the jitted step closes
+# over the wrapped call).
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_data_mesh() -> Optional[Mesh]:
+    """The mesh Pallas kernels should shard_map over, or None.
+
+    Only pure data-parallel meshes qualify: with model-axis sharding the
+    node tables are NOT replicated, so the kernels' P() in_specs would be
+    wrong — those configurations keep the XLA paths, which GSPMD
+    partitions correctly."""
+    m = _ACTIVE_MESH
+    if m is None:
+        return None
+    if int(m.shape.get("data", 1)) <= 1 or int(m.shape.get("model", 1)) != 1:
+        return None
+    return m
+
+
+def to_varying(x, axis: str = "data"):
+    """Mark a replicated shard_map input as device-varying so its cotangent
+    is psummed by the transpose (pcast/pvary compat)."""
+    try:
+        return jax.lax.pcast(x, axis, to="varying")
+    except (AttributeError, TypeError):
+        return jax.lax.pvary(x, (axis,))

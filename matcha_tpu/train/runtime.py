@@ -336,6 +336,10 @@ class Trainer:
             # shard-major stream layout factor = data-axis size: the merged
             # token stream then costs zero collectives (parallel/stream.py)
             settings = settings._replace(n_shards=int(mesh.shape["data"]))
+        # register the mesh so model code shard_maps its Pallas kernels
+        # over "data" (custom calls have no GSPMD rule — parallel/mesh.py)
+        from matcha_tpu.parallel.mesh import set_active_mesh
+        set_active_mesh(mesh)
         self.frozen = frozen
         self.dims = dims
         self.chrom_table = chrom_table
@@ -558,6 +562,14 @@ class Trainer:
         """Mirror of the reference eval (ref Code/main.py:200-258): subsample,
         generate negatives with the SAME filters, score."""
         rng = np.random.default_rng(seed)
+        # a tiny size bucket can land zero rows in the 80/20 test split
+        # (e.g. 2 k=5-mers total) — skip it, as the reference's mixed-size
+        # subsample implicitly does (ref Code/main.py:216-217)
+        test_buckets = {k: v for k, v in test_buckets.items()
+                        if len(v[0]) > 0}
+        if not test_buckets:
+            return {"bce": float("nan"), "recon": float("nan"),
+                    "metrics": {}}
         per_k = max(1, max_samples // max(len(test_buckets), 1))
         plan = {}
         n_batches = None
@@ -639,7 +651,8 @@ class Trainer:
             history.append({"train": tr, "valid": ev})
             if metrics_logger is not None:
                 metrics_logger.log_epoch(stage, epoch, tr, ev)
-            val_aupr = ev["metrics"].get(max_k, ev["metrics"]["all"])["auprc"]
+            fallback_m = ev["metrics"].get("all", {"auprc": 0.0})
+            val_aupr = ev["metrics"].get(max_k, fallback_m)["auprc"]
             if checkpoint_path and val_aupr >= best:
                 best = val_aupr
                 if ckpt_mgr is not None:

@@ -36,6 +36,9 @@ def tiny_genome():
                       [49_500_000, 30_200_000, 19_999_999], 1_000_000)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of collection order (a session-scoped generator made
+    # test data depend on which tests ran before)
     return np.random.default_rng(42)
