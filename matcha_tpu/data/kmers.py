@@ -51,6 +51,8 @@ def _merge_counts(a: Tuple[np.ndarray, np.ndarray],
     """Merge two (unique_rows, counts) pairs (rows may overlap)."""
     rows = np.concatenate([a[0], b[0]], axis=0)
     cnt = np.concatenate([a[1], b[1]])
+    if rows.shape[0] == 0:
+        return rows, cnt
     order = np.lexsort(rows.T[::-1])
     rows, cnt = rows[order], cnt[order]
     change = np.any(rows[1:] != rows[:-1], axis=1)
@@ -109,6 +111,92 @@ def _count_kmers_numpy(flat, offsets, k, max_cluster_size, min_distance,
     if acc is None:
         return (np.zeros((0, k), dtype=np.int32), np.zeros((0,), dtype=np.int64))
     return acc
+
+
+def shard_clusters(flat: np.ndarray, offsets: np.ndarray,
+                   shard_index: int, shard_count: int,
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """CSR subset of every ``shard_count``-th cluster from ``shard_index``.
+
+    Round-robin over cluster order balances work across shards (cluster
+    sizes are roughly exchangeable in SPRITE data); enumeration is
+    embarrassingly parallel over clusters, so shards can run on different
+    hosts and their partial counts merge exactly (DESIGN §8.4)."""
+    if not (0 <= shard_index < shard_count):
+        raise ValueError(f"shard_index {shard_index} not in [0, {shard_count})")
+    sizes = np.diff(offsets)
+    idx = np.arange(shard_index, sizes.size, shard_count)
+    lens = sizes[idx]
+    new_offsets = np.zeros(idx.size + 1, dtype=offsets.dtype)
+    np.cumsum(lens, out=new_offsets[1:])
+    if idx.size == 0:
+        return flat[:0], new_offsets
+    gather = (np.repeat(offsets[idx] - new_offsets[:-1], lens)
+              + np.arange(int(lens.sum())))
+    return flat[gather], new_offsets
+
+
+def _shard_paths(temp_dir: str, k: int, shard_index: int, shard_count: int):
+    tag = f"shard{shard_index}of{shard_count}"
+    return (os.path.join(temp_dir, f"all_{k}_counter.{tag}.npy"),
+            os.path.join(temp_dir, f"all_{k}_freq_counter.{tag}.npy"))
+
+
+def generate_kmers_shard(flat: np.ndarray, offsets: np.ndarray, k_list, *,
+                         max_cluster_size: int, min_distance: int,
+                         shard_index: int, shard_count: int, temp_dir: str,
+                         verbose: bool = True,
+                         ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """One shard of a multi-host k-mer generation pass.
+
+    Counts this shard's clusters only and writes PARTIAL counters
+    (``all_<k>_counter.shard<i>of<n>.npy`` + int64 freq partials).  The
+    ``min_freq_cutoff`` is NOT applied here — a k-mer below the cutoff in
+    every shard can still clear it in total, so the cutoff is only correct
+    after ``merge_kmer_shards``."""
+    sflat, soffsets = shard_clusters(flat, offsets, shard_index, shard_count)
+    os.makedirs(temp_dir, exist_ok=True)
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for k in k_list:
+        kmers, freqs = count_kmers(sflat, soffsets, int(k), max_cluster_size,
+                                   min_distance)
+        out[int(k)] = (kmers, freqs)
+        kp, fp = _shard_paths(temp_dir, int(k), shard_index, shard_count)
+        np.save(kp, kmers)
+        np.save(fp, freqs.astype(np.int64))
+        if verbose:
+            print(f"k={k} shard {shard_index}/{shard_count}: "
+                  f"{len(freqs)} partial k-mers over "
+                  f"{soffsets.size - 1} clusters")
+    return out
+
+
+def merge_kmer_shards(k_list, *, shard_count: int, temp_dir: str,
+                      min_freq_cutoff: int, verbose: bool = True,
+                      ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Merge per-shard partial counters into the final reference-layout
+    artifacts (``all_<k>_counter.npy`` / ``all_<k>_freq_counter.npy``),
+    applying ``min_freq_cutoff`` on the summed counts."""
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for k in k_list:
+        k = int(k)
+        acc: Tuple[np.ndarray, np.ndarray] | None = None
+        for i in range(shard_count):
+            kp, fp = _shard_paths(temp_dir, k, i, shard_count)
+            part = (np.load(kp), np.load(fp).astype(np.int64))
+            acc = part if acc is None else _merge_counts(acc, part)
+        kmers, freqs = acc if acc is not None else (
+            np.zeros((0, k), dtype=np.int32), np.zeros((0,), dtype=np.int64))
+        keep = freqs >= min_freq_cutoff
+        kmers, freqs = kmers[keep], freqs[keep]
+        out[k] = (kmers, freqs)
+        if verbose:
+            hist = {c: int((freqs >= c).sum()) for c in range(2, 9)}
+            print(f"k={k}: {len(freqs)} k-mers  freq>=c histogram {hist}")
+        np.save(os.path.join(temp_dir, f"all_{k}_counter.npy"), kmers)
+        np.save(os.path.join(temp_dir, f"all_{k}_freq_counter.npy"),
+                freqs.astype(np.float32))
+    return out
 
 
 def generate_kmers(flat: np.ndarray, offsets: np.ndarray, k_list, *,

@@ -46,13 +46,33 @@ def run_process(config: Config) -> GenomeBins:
     return genome
 
 
-def run_generate_kmers(config: Config) -> Dict:
+def run_generate_kmers(config: Config, *, shard_index: Optional[int] = None,
+                       shard_count: Optional[int] = None) -> Dict:
+    """k-mer generation.  With ``shard_index``/``shard_count`` set, counts
+    only that shard's clusters and writes partial counters — run one shard
+    per host (embarrassingly parallel), then ``run_merge_kmers``."""
     flat, offsets = load_edge_list(config.temp_dir)
+    if shard_count is not None:
+        from matcha_tpu.data.kmers import generate_kmers_shard
+        return generate_kmers_shard(
+            flat, offsets, config.kmer_size,
+            max_cluster_size=config.max_cluster_size,
+            min_distance=config.min_distance,
+            shard_index=int(shard_index or 0), shard_count=int(shard_count),
+            temp_dir=config.temp_dir)
     return generate_kmers(
         flat, offsets, config.kmer_size,
         max_cluster_size=config.max_cluster_size,
         min_distance=config.min_distance,
         min_freq_cutoff=config.min_freq_cutoff, temp_dir=config.temp_dir)
+
+
+def run_merge_kmers(config: Config, *, shard_count: int) -> Dict:
+    """Merge per-shard partial counters into the final artifacts."""
+    from matcha_tpu.data.kmers import merge_kmer_shards
+    return merge_kmer_shards(
+        config.kmer_size, shard_count=int(shard_count),
+        temp_dir=config.temp_dir, min_freq_cutoff=config.min_freq_cutoff)
 
 
 def run_train(config: Config, *, log=print,
@@ -161,16 +181,26 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="matcha_tpu",
                                 description="TPU-native MATCHA pipeline")
     p.add_argument("stage",
-                   choices=["process", "kmers", "train", "pretrain", "all"])
+                   choices=["process", "kmers", "kmers-merge", "train",
+                            "pretrain", "all"])
     p.add_argument("-c", "--config", default=None, help="config.JSON path")
     p.add_argument("--walk-mode", choices=["hyper", "clique"],
                    default="hyper")
+    p.add_argument("--shard-index", type=int, default=None,
+                   help="kmers: this host's shard (0-based)")
+    p.add_argument("--shard-count", type=int, default=None,
+                   help="kmers/kmers-merge: total shards")
     args = p.parse_args(argv)
     config = load_config(args.config)
     if args.stage in ("process", "all"):
         run_process(config)
     if args.stage in ("kmers", "all"):
-        run_generate_kmers(config)
+        run_generate_kmers(config, shard_index=args.shard_index,
+                           shard_count=args.shard_count)
+    if args.stage == "kmers-merge":
+        if args.shard_count is None:
+            p.error("kmers-merge requires --shard-count")
+        run_merge_kmers(config, shard_count=args.shard_count)
     if args.stage == "pretrain":
         run_pretrain(config, walk_mode=args.walk_mode)
     if args.stage in ("train", "all"):

@@ -167,3 +167,59 @@ def test_generate_kmers_freq_cutoff(tmp_path):
     assert kmers.tolist() == [[1, 5]]
     assert freqs.tolist() == [2]
     assert (tmp_path / "all_2_counter.npy").exists()
+
+
+def test_sharded_kmers_match_single_shot(tiny_genome, rng, tmp_path):
+    """Multi-host k-mer sharding (DESIGN §8.4): per-shard partial counts
+    merged with the cutoff applied post-merge must equal the single-shot
+    artifacts exactly — including k-mers that clear the cutoff only in
+    total (below it in every individual shard)."""
+    from matcha_tpu.data.kmers import (generate_kmers_shard,
+                                       merge_kmer_shards, shard_clusters)
+    clusters = []
+    for _ in range(200):
+        m = int(rng.integers(2, 9))
+        nodes = sorted(set(
+            int(rng.integers(1, tiny_genome.node_num)) for _ in range(m)))
+        if len(nodes) >= 2:
+            clusters.append(nodes)
+    flat = np.concatenate([np.asarray(c) for c in clusters]).astype(np.int32)
+    offsets = np.zeros(len(clusters) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clusters], out=offsets[1:])
+
+    # shards partition the cluster set exactly
+    n_shards = 3
+    tot = sum(shard_clusters(flat, offsets, i, n_shards)[0].size
+              for i in range(n_shards))
+    assert tot == flat.size
+
+    single = tmp_path / "single"
+    sharded = tmp_path / "sharded"
+    ref = generate_kmers(flat, offsets, [2, 3], max_cluster_size=10,
+                         min_distance=0, min_freq_cutoff=2,
+                         temp_dir=str(single), verbose=False)
+    for i in range(n_shards):
+        generate_kmers_shard(flat, offsets, [2, 3], max_cluster_size=10,
+                             min_distance=0, shard_index=i,
+                             shard_count=n_shards, temp_dir=str(sharded),
+                             verbose=False)
+    got = merge_kmer_shards([2, 3], shard_count=n_shards,
+                            temp_dir=str(sharded), min_freq_cutoff=2,
+                            verbose=False)
+    for k in (2, 3):
+        assert (got[k][0] == ref[k][0]).all()
+        assert (got[k][1] == ref[k][1]).all()
+        a = np.load(sharded / f"all_{k}_counter.npy")
+        b = np.load(single / f"all_{k}_counter.npy")
+        assert (a == b).all()
+        fa = np.load(sharded / f"all_{k}_freq_counter.npy")
+        fb = np.load(single / f"all_{k}_freq_counter.npy")
+        assert (fa == fb).all()
+
+
+def test_shard_clusters_empty_shard():
+    from matcha_tpu.data.kmers import merge_kmer_shards, shard_clusters
+    flat = np.array([1, 5, 2, 7], dtype=np.int32)
+    offsets = np.array([0, 2, 4], dtype=np.int64)
+    sf, so = shard_clusters(flat, offsets, 2, 3)   # only 2 clusters
+    assert sf.size == 0 and so.tolist() == [0]
