@@ -72,9 +72,11 @@ def filter_low_frequency_nodes(flat: np.ndarray, offsets: np.ndarray,
     # rewrite clusters: keep surviving members (already sorted / distinct,
     # and renumbering is monotone so they stay sorted), need >= 2 left
     member_kept = survived[flat]
-    # note: add.reduceat on bool is logical-or, so count via int64
-    new_sizes = np.add.reduceat(member_kept.astype(np.int64), offsets[:-1]) \
-        if len(sizes) else np.zeros((0,), dtype=np.int64)
+    # segment-sum via cumsum difference (add.reduceat raises on a trailing
+    # empty cluster — offsets[i] == len(flat) — and silently reads a
+    # neighboring element for interior empty segments)
+    csum = np.concatenate([[0], np.cumsum(member_kept.astype(np.int64))])
+    new_sizes = csum[offsets[1:]] - csum[offsets[:-1]]
     edge_kept = new_sizes >= 2
     new_flat = node2newnode[flat[member_kept & np.repeat(edge_kept, sizes)]]
     new_flat = new_flat.astype(np.int32)

@@ -230,13 +230,16 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
     pos = jnp.arange(L)
     outs = []
     for qp in range(L):
-        # scores of query position qp against all keys: (b, L, H) in f32
-        s = jnp.sum((q[:, qp:qp + 1] * k).astype(jnp.float32),
-                    axis=-1) * inv_temp
+        # scores of query position qp against all keys: (b, L, H), f32
+        # products AND f32 accumulation (matching the MXU-einsum numerics
+        # this path replaced — bf16-rounded products drift the logits)
+        s = jnp.sum(q[:, qp:qp + 1].astype(jnp.float32)
+                    * k.astype(jnp.float32), axis=-1) * inv_temp
         if diag_mask:
             s = jnp.where((pos == qp)[None, :, None], -1e32, s)  # ref :443-445
-        prob = jax.nn.softmax(s, axis=1).astype(x.dtype)     # softmax in f32
-        outs.append(jnp.sum(prob[..., None] * v, axis=1))    # (b, H, d_v)
+        prob = jax.nn.softmax(s, axis=1)                     # f32
+        outs.append(jnp.sum(prob[..., None] * v.astype(jnp.float32),
+                            axis=1).astype(x.dtype))         # (b, H, d_v)
     out = jnp.stack(outs, axis=1).reshape(b * L, n_head * d_v)
     out = linear(p["fc1"], out).reshape(b, L, -1)
     key, kd = jax.random.split(key) if key is not None else (None, None)

@@ -27,6 +27,7 @@ computation follows data; no hand-written collectives needed at this scale.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Dict, Optional
 
 import jax
@@ -130,9 +131,11 @@ def shard_train_inputs(mesh: Mesh, params, frozen: FrozenTables, batch):
 # they force XLA to all-gather their operands and run replicated on every
 # chip (measured: 18 all-gathers for one attention call on an 8-way data
 # mesh).  Model code therefore wraps its Pallas kernels in `jax.shard_map`
-# over the "data" axis when a mesh is active; the Trainer registers the
-# mesh here at construction (a trace-time global — the jitted step closes
-# over the wrapped call).
+# over the "data" axis when a mesh is active.  The mesh is consulted at
+# TRACE time, so the Trainer scopes it to each of its own jitted calls
+# with `using_active_mesh` — a set-and-forget global would let a second
+# Trainer (or none) silently change which wrapping an earlier Trainer's
+# still-untraced functions compile with.
 
 _ACTIVE_MESH: Optional[Mesh] = None
 
@@ -140,6 +143,19 @@ _ACTIVE_MESH: Optional[Mesh] = None
 def set_active_mesh(mesh: Optional[Mesh]) -> None:
     global _ACTIVE_MESH
     _ACTIVE_MESH = mesh
+
+
+@contextmanager
+def using_active_mesh(mesh: Optional[Mesh]):
+    """Install ``mesh`` as the active mesh for the duration of a (possibly
+    trace-triggering) call; restores the previous value on exit."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
 
 
 def active_data_mesh() -> Optional[Mesh]:

@@ -191,6 +191,12 @@ def main(argv=None):
     p.add_argument("--shard-count", type=int, default=None,
                    help="kmers/kmers-merge: total shards")
     args = p.parse_args(argv)
+    if (args.shard_index is not None or args.shard_count is not None) \
+            and args.stage not in ("kmers", "kmers-merge"):
+        # 'all' would write only partial counters then train against
+        # missing/stale merged artifacts
+        p.error("--shard-index/--shard-count apply only to the 'kmers' and "
+                "'kmers-merge' stages")
     config = load_config(args.config)
     if args.stage in ("process", "all"):
         run_process(config)

@@ -108,8 +108,8 @@ def sample_negatives_with_stats(
         key: jax.Array, positives: jnp.ndarray, table: ChromTable,
         min_distance: int, bloom: Optional[DeviceBloomFilter], *,
         neg_num: int = 3, max_trials: int = 8, hard_ratio: float = 1.0,
-        extra_rounds: int = 32,
-        max_probes: Optional[int] = None) -> Tuple[jnp.ndarray, dict]:
+        extra_rounds: int = 32, max_probes: Optional[int] = None,
+        chrom_bounds: Optional[tuple] = None) -> Tuple[jnp.ndarray, dict]:
     """Generate (B*neg_num, k) negatives for a (B, k) positive bucket.
 
     hard_ratio: fraction of negatives corrupted chromosome-constrained at the
@@ -143,18 +143,26 @@ def sample_negatives_with_stats(
     # lo/hi are a C-step monotone function of the id — C unrolled
     # compare-selects on the VPU instead of 3 latency-bound random gathers
     # (~7 ns/row x n*k rows was ~1.2 ms/step at bench scale).  Needs the
-    # range arrays concrete (the usual case: ChromTable is closed over by
-    # the jitted step); traced tables keep the gather path.
-    try:
-        starts = np.asarray(table.chrom_start)
-        ends = np.asarray(table.chrom_end)
-        lo = jnp.full(orig.shape, float(starts[0]), jnp.float32)
-        hi = jnp.full(orig.shape, float(ends[0]), jnp.float32)
-        for c in range(1, starts.shape[0]):
-            on_c = orig >= int(starts[c])
-            lo = jnp.where(on_c, float(starts[c]), lo)
-            hi = jnp.where(on_c, float(ends[c]), hi)
-    except jax.errors.TracerArrayConversionError:
+    # ranges as host constants: the Trainer passes them via
+    # ``chrom_bounds`` (ChromTable itself is a jit ARGUMENT — gigabyte-free
+    # compile — so its fields are tracers inside the step); eager callers
+    # with a concrete table get them extracted here.  Traced tables with no
+    # bounds keep the gather path.
+    if chrom_bounds is None:
+        try:
+            chrom_bounds = tuple(
+                (int(s), int(e)) for s, e in
+                zip(np.asarray(table.chrom_start), np.asarray(table.chrom_end)))
+        except jax.errors.TracerArrayConversionError:
+            pass
+    if chrom_bounds is not None:
+        lo = jnp.full(orig.shape, float(chrom_bounds[0][0]), jnp.float32)
+        hi = jnp.full(orig.shape, float(chrom_bounds[0][1]), jnp.float32)
+        for start, end in chrom_bounds[1:]:
+            on_c = orig >= int(start)
+            lo = jnp.where(on_c, float(start), lo)
+            hi = jnp.where(on_c, float(end), hi)
+    else:
         chrom = table.node2chrom[orig]               # (n, k)
         lo = table.chrom_start[chrom].astype(jnp.float32)
         hi = table.chrom_end[chrom].astype(jnp.float32)
@@ -262,12 +270,14 @@ def sample_negatives(key: jax.Array, positives: jnp.ndarray,
                      bloom: Optional[DeviceBloomFilter], *, neg_num: int = 3,
                      max_trials: int = 8, hard_ratio: float = 1.0,
                      extra_rounds: int = 32,
-                     max_probes: Optional[int] = None) -> jnp.ndarray:
+                     max_probes: Optional[int] = None,
+                     chrom_bounds: Optional[tuple] = None) -> jnp.ndarray:
     """`sample_negatives_with_stats` without the counters."""
     neg, _ = sample_negatives_with_stats(
         key, positives, table, min_distance, bloom, neg_num=neg_num,
         max_trials=max_trials, hard_ratio=hard_ratio,
-        extra_rounds=extra_rounds, max_probes=max_probes)
+        extra_rounds=extra_rounds, max_probes=max_probes,
+        chrom_bounds=chrom_bounds)
     return neg
 
 

@@ -80,6 +80,11 @@ class TrainSettings(NamedTuple):
     # mesh): cross-bucket concats use the shard-major layout so the merged
     # stream costs zero collectives (parallel/stream.py).  1 = plain layout.
     n_shards: int = 1
+    # ((start, end), ...) per-chromosome node-id ranges as HOST constants
+    # (set by Trainer from the chrom table): enables the sampler's unrolled
+    # compare-select range path inside jit, where the ChromTable argument's
+    # fields are tracers (sampler/negative.py).  None = gather path.
+    chrom_bounds: Optional[tuple] = None
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
@@ -117,7 +122,8 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
             extra_rounds=settings.extra_rounds,
             max_probes=(settings.max_probes_k2 if k == 2
                         else settings.max_probes),
-            hard_ratio=settings.hard_ratio)
+            hard_ratio=settings.hard_ratio,
+            chrom_bounds=settings.chrom_bounds)
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
         fb_rows += st["rows"]
@@ -163,12 +169,10 @@ def _resolve_ns(settings: TrainSettings, batch) -> int:
     """Effective shard-major layout factor: settings.n_shards when every
     bucket's row count splits evenly (pos rows and the neg_num multiple then
     both divide), else 1 (plain layout — still correct, just resharded)."""
+    from matcha_tpu.parallel.stream import divisible
     ns = settings.n_shards
-    if ns <= 1:
-        return 1
-    if all(batch[k][0].shape[-2] % ns == 0 for k in batch):
-        return ns
-    return 1
+    sizes = [batch[k][0].shape[-2] for k in batch]
+    return ns if divisible(sizes, ns) else 1
 
 
 def _sample_all_negatives(table, blooms, settings, batch, key, ns=1):
@@ -190,7 +194,8 @@ def _sample_all_negatives(table, blooms, settings, batch, key, ns=1):
             extra_rounds=settings.extra_rounds,
             max_probes=(settings.max_probes_k2 if k == 2
                         else settings.max_probes),
-            hard_ratio=settings.hard_ratio)
+            hard_ratio=settings.hard_ratio,
+            chrom_bounds=settings.chrom_bounds)
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
         fb_rows += st["rows"]
@@ -307,6 +312,15 @@ class Trainer:
         params = jax.jit(
             lambda t: jax.tree_util.tree_map(jnp.copy, t))(params)
         key = jax.random.PRNGKey(seed)
+        if settings.chrom_bounds is None:
+            # hoist the tiny per-chrom node ranges to host constants while
+            # the table is still concrete — inside the jitted step the
+            # ChromTable argument's fields are tracers, and the sampler's
+            # compare-select range path needs Python ints
+            settings = settings._replace(chrom_bounds=tuple(
+                (int(s), int(e)) for s, e in
+                zip(np.asarray(chrom_table.chrom_start),
+                    np.asarray(chrom_table.chrom_end))))
         if mesh is not None:
             # SPMD placement (parallel/mesh.py): batch on "data", node-axis
             # tables on "model"; jit compiles the step over the mesh.
@@ -336,10 +350,13 @@ class Trainer:
             # shard-major stream layout factor = data-axis size: the merged
             # token stream then costs zero collectives (parallel/stream.py)
             settings = settings._replace(n_shards=int(mesh.shape["data"]))
-        # register the mesh so model code shard_maps its Pallas kernels
-        # over "data" (custom calls have no GSPMD rule — parallel/mesh.py)
-        from matcha_tpu.parallel.mesh import set_active_mesh
-        set_active_mesh(mesh)
+        # model code shard_maps its Pallas kernels over "data" when a mesh
+        # is active (custom calls have no GSPMD rule — parallel/mesh.py);
+        # the mesh is consulted at TRACE time, so each jitted call below is
+        # wrapped in using_active_mesh rather than set once globally (a
+        # second Trainer would otherwise silently change what this one's
+        # still-untraced functions compile with)
+        from matcha_tpu.parallel.mesh import using_active_mesh
         self.frozen = frozen
         self.dims = dims
         self.chrom_table = chrom_table
@@ -421,19 +438,22 @@ class Trainer:
             return jax.lax.scan(eval_step, state, stacked)
 
         def run_train_epoch(state, stacked):
-            return train_epoch_fn(state, stacked, self.frozen,
-                                  self.chrom_table, self.blooms or {},
-                                  self.blooms is not None)
+            with using_active_mesh(mesh):
+                return train_epoch_fn(state, stacked, self.frozen,
+                                      self.chrom_table, self.blooms or {},
+                                      self.blooms is not None)
 
         def run_eval_epoch(state, stacked):
-            return eval_epoch_fn(state, stacked, self.frozen,
-                                 self.chrom_table, self.blooms or {},
-                                 self.blooms is not None)
+            with using_active_mesh(mesh):
+                return eval_epoch_fn(state, stacked, self.frozen,
+                                     self.chrom_table, self.blooms or {},
+                                     self.blooms is not None)
 
         def run_device_epoch(state, full, steps, batch):
-            return device_epoch_fn(state, full, self.frozen,
-                                   self.chrom_table, self.blooms or {},
-                                   steps, batch, self.blooms is not None)
+            with using_active_mesh(mesh):
+                return device_epoch_fn(state, full, self.frozen,
+                                       self.chrom_table, self.blooms or {},
+                                       steps, batch, self.blooms is not None)
 
         self._train_epoch_fn = run_train_epoch
         self._eval_epoch_fn = run_eval_epoch
@@ -529,10 +549,12 @@ class Trainer:
         """Lower (don't run) the jitted train epoch for the current mesh and
         a host epoch-batch dict — the inspection hook behind
         scripts/comm_budget.py (compiled-HLO collective volumes)."""
+        from matcha_tpu.parallel.mesh import using_active_mesh
         stacked = self._place_batch(stacked)
-        return self._train_epoch_jit.lower(
-            self.state, stacked, self.frozen, self.chrom_table,
-            self.blooms or {}, self.blooms is not None)
+        with using_active_mesh(self.mesh):
+            return self._train_epoch_jit.lower(
+                self.state, stacked, self.frozen, self.chrom_table,
+                self.blooms or {}, self.blooms is not None)
 
     def train_epoch(self, batcher: BucketedBatcher):
         stacked = self._place_batch(batcher.next_epoch())
@@ -696,7 +718,10 @@ class Trainer:
             from matcha_tpu.parallel.distributed import replicate_to_host
             emb = replicate_to_host(emb, self.mesh)
         emb = np.asarray(emb)
-        np.save(path, emb)
+        # shared filesystem: process 0 writes, like save_checkpoint —
+        # concurrent same-path np.save from every host can interleave
+        if jax.process_count() <= 1 or jax.process_index() == 0:
+            np.save(path, emb)
         return emb
 
 

@@ -53,7 +53,8 @@ def incidence_matrices(num_nodes: int, hyperedges):
 _DEVICE_COOC_MAX_BYTES = 2 << 30
 
 
-def cooccurrence_csr(num_nodes: int, hyperedges, backend: str = "auto"):
+def cooccurrence_csr(num_nodes: int, hyperedges, backend: str = "auto",
+                     ev_matrices=None):
     """First-order walk weights ``W[u,v] = sum_{e ∋ u,v} 1/|e|`` (diagonal
     dropped) as scipy CSR — the ``VE_od @ EV_od`` product of
     ref random_walk_hyper.py:128-141.
@@ -82,7 +83,11 @@ def cooccurrence_csr(num_nodes: int, hyperedges, backend: str = "auto"):
         W = np.asarray(pair_cooccurrence(inc, w_e, num_nodes))[1:, 1:]
         W = csr_matrix(W)
     else:
-        _, EV_od = incidence_matrices(num_nodes, hyperedges)
+        # callers that already built the incidence matrices pass them in —
+        # at scipy-fallback scale (num_nodes past the 2 GB dense cap) a
+        # second full CSR construction is the setup bottleneck
+        EV_od = (ev_matrices[1] if ev_matrices is not None
+                 else incidence_matrices(num_nodes, hyperedges)[1])
         W = (EV_od.T @ EV_od).tocsr()
         W.setdiag(0)
     W.eliminate_zeros()
@@ -96,13 +101,15 @@ def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
                      weight_backend: str = "auto") -> np.ndarray:
     """-> (num_nodes * num_walks, walk_length) walks (0-based node ids)."""
     rng = np.random.default_rng(seed)
-    EV, _ = incidence_matrices(num_nodes, hyperedges)
+    ev_mats = incidence_matrices(num_nodes, hyperedges)
+    EV = ev_mats[0]
     VE = EV.T.tocsr()
     node_degree = np.asarray(EV.sum(axis=0)).reshape(-1)
 
     # ff = VE_od @ EV_od : (N, N) node-node weights, diagonal removed —
     # computed on device by default (see cooccurrence_csr)
-    W = cooccurrence_csr(num_nodes, hyperedges, backend=weight_backend)
+    W = cooccurrence_csr(num_nodes, hyperedges, backend=weight_backend,
+                         ev_matrices=ev_mats)
 
     # first-order tables
     dists, values = [], []

@@ -208,3 +208,17 @@ def test_outlier_detection(problem, rng):
     assert hit.shape == (3,)
     assert (np.diff(hit) >= 0).all()         # cumulative
     assert 0.0 <= hit[0] <= hit[-1] <= 1.0
+
+
+def test_node_filter_trailing_empty_cluster():
+    """np.add.reduceat raises on offsets[i] == len(flat); the segment sum
+    must handle empty clusters anywhere in the CSR."""
+    from matcha_tpu.data.legacy import filter_low_frequency_nodes
+    flat = np.array([1, 2, 1, 2, 1, 2], dtype=np.int32)
+    offsets = np.array([0, 2, 2, 4, 6, 6], dtype=np.int64)  # two empties
+    chrom_range = np.array([[1, 3]], dtype=np.int64)
+    res = filter_low_frequency_nodes(flat, offsets, chrom_range,
+                                     min_freq=2, freq_count_cap=100)
+    # nodes 1,2 appear 3x each -> survive; 3 non-empty clusters kept
+    assert res.offsets.tolist() == [0, 2, 4, 6]
+    assert res.flat.tolist() == [1, 2, 1, 2, 1, 2]

@@ -44,11 +44,33 @@ def _clean_env():
     return env
 
 
-def _run_worker(out, coord, nproc, pid, local_devices, env):
+def _run_worker(out, coord, nproc, pid, local_devices, env, logf):
     return subprocess.Popen(
         [sys.executable, WORKER, out, coord, str(nproc), str(pid),
          str(local_devices)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        env=env, stdout=logf, stderr=subprocess.STDOUT, text=True)
+
+
+def _wait_all(procs, logfs, timeout):
+    """Wait for all workers; kill survivors if one hangs or fails (they
+    synchronize via collectives — an orphan would block forever).  Worker
+    stdout goes to files, not pipes: sequential pipe reads can deadlock
+    when the other worker fills its pipe buffer."""
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    logs = []
+    for f in logfs:
+        f.seek(0)
+        logs.append(f.read())
+        f.close()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 
 
 @pytest.mark.slow
@@ -57,17 +79,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     # ---- 2 processes x 2 devices, one global 4-device mesh
     port = _free_port()
     out_mp = str(tmp_path / "mp")
-    procs = [_run_worker(out_mp, f"127.0.0.1:{port}", 2, pid, 2, env)
+    logfs = [open(tmp_path / f"worker{pid}.log", "w+") for pid in range(2)]
+    procs = [_run_worker(out_mp, f"127.0.0.1:{port}", 2, pid, 2, env,
+                         logfs[pid])
              for pid in range(2)]
-    logs = [p.communicate(timeout=600)[0] for p in procs]
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    _wait_all(procs, logfs, timeout=600)
 
     # ---- single process, same 4-device global mesh
     out_sp = str(tmp_path / "sp")
-    p = _run_worker(out_sp, "none", 1, 0, 4, env)
-    log = p.communicate(timeout=600)[0]
-    assert p.returncode == 0, f"single-process worker failed:\n{log[-3000:]}"
+    logf = open(tmp_path / "worker_sp.log", "w+")
+    p = _run_worker(out_sp, "none", 1, 0, 4, env, logf)
+    _wait_all([p], [logf], timeout=600)
 
     with open(out_mp + ".0") as f:
         mp0 = json.load(f)

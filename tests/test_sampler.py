@@ -197,3 +197,31 @@ def test_build_bloom_dict(rng):
     assert set(filters) == {2, 3}
     assert np.asarray(filters[2].contains(jnp.asarray(unl[2]))).all()
     assert np.asarray(filters[3].contains(jnp.asarray(unl[3]))).all()
+
+
+def test_chrom_bounds_fast_path_matches_gather(table, rng):
+    """The compare-select range path (host-constant chrom_bounds, the path
+    the Trainer enables inside jit where the ChromTable argument is traced)
+    must produce the exact same negatives as the node2chrom gather path."""
+    import jax
+    g, tbl = table
+    pos = _random_positives(g, rng, 64, 3)
+    bloom = build_bloom_dict({3: pos})[3]
+    bounds = tuple((int(s), int(e)) for s, e in
+                   zip(np.asarray(tbl.chrom_start), np.asarray(tbl.chrom_end)))
+    key = jax.random.PRNGKey(7)
+
+    # traced table WITHOUT bounds -> gather path
+    neg_gather = jax.jit(
+        lambda kk, pp, tt: sample_negatives(kk, pp, tt, 0, bloom))(
+        key, pos, tbl)
+    # traced table WITH host bounds -> compare-select path
+    neg_fast = jax.jit(
+        lambda kk, pp, tt: sample_negatives(kk, pp, tt, 0, bloom,
+                                            chrom_bounds=bounds))(
+        key, pos, tbl)
+    # eager concrete table (extracts bounds itself)
+    neg_eager = sample_negatives(key, pos, tbl, 0, bloom)
+
+    assert (np.asarray(neg_gather) == np.asarray(neg_fast)).all()
+    assert (np.asarray(neg_gather) == np.asarray(neg_eager)).all()

@@ -111,3 +111,16 @@ def test_bincount_sharded(rng, data_mesh):
     ref = jnp.zeros((N,)).at[idx].add(1.0)
     got = jax.jit(lambda i: bincount_sharded(i, N, data_mesh))(idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_using_active_mesh_scopes_and_restores(data_mesh):
+    """Trainer-scoped mesh activation: a second Trainer (or none) must not
+    clobber what an earlier Trainer's still-untraced functions see."""
+    from matcha_tpu.parallel.mesh import using_active_mesh
+    set_active_mesh(None)
+    with using_active_mesh(data_mesh):
+        assert active_data_mesh() is data_mesh
+        with using_active_mesh(None):      # nested Trainer without a mesh
+            assert active_data_mesh() is None
+        assert active_data_mesh() is data_mesh
+    assert active_data_mesh() is None
