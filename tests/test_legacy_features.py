@@ -222,3 +222,49 @@ def test_node_filter_trailing_empty_cluster():
     # nodes 1,2 appear 3x each -> survive; 3 non-empty clusters kept
     assert res.offsets.tolist() == [0, 2, 4, 6]
     assert res.flat.tolist() == [1, 2, 1, 2, 1, 2]
+
+
+def test_analysis_bands_matches_reference_rule(rng, tmp_path):
+    """analysis_SPRITE oracle: per-anchor combinations over members > i+5,
+    then min-adjacent-gap > 5 filter, then frequency-band binning
+    (ref History_version/Code/analysis_SPRITE.py:26-42,88-116) — must equal
+    the one-pass count + band split."""
+    from collections import Counter
+    from itertools import combinations
+    from matcha_tpu.apps.analysis_bands import build_frequency_band_files
+
+    size = 3
+    clusters = []
+    for _ in range(300):
+        m = int(rng.integers(size, 12))
+        nodes = sorted(set(int(rng.integers(1, 120)) for _ in range(m)))
+        if len(nodes) >= size:
+            clusters.append(nodes)
+    flat = np.concatenate([np.asarray(c) for c in clusters]).astype(np.int32)
+    offsets = np.zeros(len(clusters) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clusters], out=offsets[1:])
+
+    # oracle (anchor rule, shrink filter size<=len<25)
+    counter = Counter()
+    for cl in clusters:
+        if not (size <= len(cl) < 25):
+            continue
+        arr = np.asarray(cl)
+        for i in cl:
+            for comb in combinations(arr[arr > i + 5], size - 1):
+                key = (i,) + comb
+                if np.diff(key).min() > 5:
+                    counter[key] += 1
+    bands = [(2, 3), (3, 5), (5, 8), (8, 12), (12, -1)]
+    oracle = {b: set() for b in bands}
+    for key, f in counter.items():
+        for lo, hi in bands:
+            if f >= lo and (hi < 0 or f < hi):
+                oracle[(lo, hi)].add(key)
+
+    got = build_frequency_band_files(flat, offsets, size, str(tmp_path),
+                                     verbose=False)
+    for b in bands:
+        assert {tuple(map(int, r)) for r in got[b]} == oracle[b], b
+    assert (tmp_path / "2_3_3.npy").exists()
+    assert (tmp_path / "upper_3.npy").exists()
