@@ -1,0 +1,105 @@
+"""Learnability on the REAL bundled reference datasets (SURVEY §4.5):
+the manuscript's own SPRITE k-mer tuple files
+(History_version/data/SPRITE/tuples/occ_above_8.zip + node dicts) and the
+generic ``drop`` dataset (History_version/data/drop/test_data.npz).
+
+These upgrade the accuracy evidence beyond synthetic fixtures: the model
+must separate the reference's actual high-frequency k-mers from
+chromosome-constrained random negatives well above chance.  (The full 4DN
+pipeline inputs are not downloadable here; these bundled artifacts are the
+real-data slice that ships with the reference.)
+"""
+
+import io
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+import jax
+
+SPRITE_DIR = "/root/reference/History_version/data/SPRITE"
+DROP_NPZ = "/root/reference/History_version/data/drop/test_data.npz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SPRITE_DIR), reason="bundled reference data absent")
+
+
+def _train_and_eval(type_counts, edges_train, edges_test, type_names=None,
+                    epochs=6, seed=0):
+    from matcha_tpu.data.batcher import BucketedBatcher
+    from matcha_tpu.data.generic import build_generic_problem
+    from matcha_tpu.sampler.bloom import build_bloom_dict
+    from matcha_tpu.train.runtime import Trainer, TrainSettings
+
+    k = edges_train.shape[1]
+    space, dims, params, frozen, table = build_generic_problem(
+        type_counts, np.concatenate([edges_train, edges_test]).tolist(),
+        dim=16, n_head=4, type_names=type_names, seed=seed)
+    w_tr = np.ones(len(edges_train), np.float32)
+    w_te = np.ones(len(edges_test), np.float32)
+    # Bloom over every known positive (train + test), as the reference's
+    # rejection dicts cover the full tuple set (ref Code/main.py:392-421)
+    blooms = build_bloom_dict(
+        {k: np.concatenate([edges_train, edges_test]).astype(np.int32)})
+    trainer = Trainer(params, frozen, dims, table,
+                      TrainSettings(alpha=1.0, beta=0.001), blooms=blooms,
+                      seed=seed)
+    batcher = BucketedBatcher({k: (edges_train.astype(np.int32), w_tr)},
+                              batch_size=64, num_batch_per_iter=24, seed=seed)
+    for _ in range(epochs):
+        trainer.train_epoch(batcher)
+    ev = trainer.eval_epoch({k: (edges_test.astype(np.int32), w_te)},
+                            batch_size=64, seed=seed)
+    return ev["metrics"]["all"]
+
+
+def _sprite_counts_and_names():
+    n2c = np.load(os.path.join(SPRITE_DIR, "node2chrom.npy"),
+                  allow_pickle=True).item()
+    arr = np.zeros(max(n2c) + 1, np.int64)
+    for node, c in n2c.items():
+        arr[node] = c
+    # ids are contiguous per chromosome (1-based); counts per chrom
+    counts = np.bincount(arr[1:]).tolist()
+    names = [f"chr{i + 1}" for i in range(len(counts))]
+    # sanity: contiguity (monotone non-decreasing chrom per id)
+    assert (np.diff(arr[1:]) >= 0).all()
+    return counts, names
+
+
+@pytest.mark.slow
+def test_real_sprite_kmers_learnable(rng):
+    """The manuscript's own freq>=12 3-mers (317k tuples over the real
+    2,745-node hg38 1 Mb genome) vs chromosome-constrained negatives."""
+    z = zipfile.ZipFile(os.path.join(SPRITE_DIR, "tuples/occ_above_8.zip"))
+    kmers = np.load(io.BytesIO(z.read("upper_filter_3.npy")),
+                    allow_pickle=True)
+    counts, names = _sprite_counts_and_names()
+    sel = rng.permutation(len(kmers))[:2560]
+    edges = np.unique(kmers[sel], axis=0)
+    n_tr = int(0.8 * len(edges))
+    perm = rng.permutation(len(edges))
+    m = _train_and_eval(counts, edges[perm[:n_tr]], edges[perm[n_tr:]],
+                        type_names=names)
+    assert m["auroc"] > 0.80, f"real-SPRITE AUROC too low: {m}"
+
+
+@pytest.mark.slow
+def test_real_drop_dataset_learnable(rng):
+    """The bundled generic 'drop' dataset: 126k real 3-way hyperedges over
+    one 8,782-node type (ref main_drop.py:579-620 input layout)."""
+    d = np.load(DROP_NPZ, allow_pickle=True)
+    data = d["test_data"].astype(np.int64)
+    counts = [int(d["nums_type"][0])]
+    # legacy ids are 0-based per type; the node space is 1-based
+    data = np.sort(data, axis=1) + 1
+    keep = (np.diff(data, axis=1) > 0).all(axis=1)
+    data = np.unique(data[keep], axis=0)
+    sel = rng.permutation(len(data))[:2560]
+    edges = data[sel]
+    n_tr = int(0.8 * len(edges))
+    perm = rng.permutation(len(edges))
+    m = _train_and_eval(counts, edges[perm[:n_tr]], edges[perm[n_tr:]])
+    assert m["auroc"] > 0.70, f"real-drop AUROC too low: {m}"
