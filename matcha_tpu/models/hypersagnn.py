@@ -494,9 +494,28 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     from matcha_tpu.models.modules import mha_dynamic
     keys_enc = (jax.random.split(k_enc, len(ks) + 1)
                 if k_enc is not None else [None] * (len(ks) + 1))
+    # Fused classifier tail (ops/fused_tail.py): dropout + pff_n1 + the
+    # three LayerNorms + (dyn-static)^2 + classifier in one Pallas kernel
+    # over the merged stream — the XLA chain re-reads the (T, d) stream
+    # from HBM ~15 times.  The attention-output dropout (0.3) moves INSIDE
+    # the kernel (in-kernel PRNG), so attention runs with drop_rate=0.
+    # Opt-in (MATCHA_FUSE_TAIL=1) until TPU-validated; CPU eval-mode only
+    # (interpret mode has no PRNG); mesh path keeps XLA (no shard_map wrap
+    # for this kernel yet).
+    import os as _os
+    from matcha_tpu.ops.fused_tail import BT as _FT_BT
+    from matcha_tpu.parallel.mesh import active_data_mesh as _adm
+    T_tok = int(flat.shape[0])
+    use_fused_tail = (
+        _os.environ.get("MATCHA_FUSE_TAIL", "0") == "1"
+        and dims.diag_mask and dims.use_pallas_attention
+        and T_tok % _FT_BT == 0 and _adm() is None
+        and (jax.default_backend() != "cpu" or not train))
+    attn_drop = 0.0 if use_fused_tail else 0.3
     if attention_mode == "pad-max" and len(shapes) > 1:
         dyn = _attention_pad_max(params, frozen, dims, h, shapes, keys_enc,
-                                 train, node_table, n_shards)
+                                 train, node_table, n_shards,
+                                 drop_rate=attn_drop)
     else:
         # per-bucket attention on static slices of the stream
         dyn_parts = []
@@ -505,17 +524,39 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
             hk = h_parts[i].reshape(n_k, k, -1)
             dyn_k = mha_dynamic(params["encoder"]["mha"], hk, dims.n_head,
                                 dims.dim, dims.dim, diag_mask=dims.diag_mask,
-                                key=keys_enc[i], drop_rate=0.3, train=train,
+                                key=keys_enc[i], drop_rate=attn_drop,
+                                train=train,
                                 use_pallas=dims.use_pallas_attention)
             dyn_parts.append(dyn_k.reshape(n_k * k, -1))
         dyn = shard_concat(dyn_parts, n_shards)                  # (T, d)
-    dyn = pff(params["encoder"]["pff_n1"], dyn, residual=True,
-              key=keys_enc[-1], drop_rate=0.4, train=train)
+    if use_fused_tail:
+        from matcha_tpu.ops.fused_tail import fused_tail
+        pn = params["encoder"]["pff_n1"]
+        ln6 = jnp.stack([
+            pn["ln"]["g"], pn["ln"]["b"],
+            params["ln_dynamic"]["g"], params["ln_dynamic"]["b"],
+            params["ln_static"]["g"], params["ln_static"]["b"],
+        ]).astype(jnp.float32)
+        cl = params["pff_classifier"]["layers"][0]
+        if train and keys_enc[-1] is not None:
+            seed = jax.random.randint(keys_enc[-1], (), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        per_pos = fused_tail(
+            dyn, h, ln6, pn["layers"][0]["w"], pn["layers"][0]["b"],
+            pn["layers"][1]["w"], pn["layers"][1]["b"], cl["w"], cl["b"],
+            seed, 0.3, 0.4, train)                          # (T, 1) f32
+    else:
+        dyn = pff(params["encoder"]["pff_n1"], dyn, residual=True,
+                  key=keys_enc[-1], drop_rate=0.4, train=train)
 
-    dynamic = layer_norm(params["ln_dynamic"], dyn)
-    static = layer_norm(params["ln_static"], h)
-    out = (dynamic - static) ** 2 if dims.diag_mask else dynamic
-    per_pos = pff(params["pff_classifier"], out).astype(jnp.float32)  # (T,1)
+        dynamic = layer_norm(params["ln_dynamic"], dyn)
+        static = layer_norm(params["ln_static"], h)
+        out = (dynamic - static) ** 2 if dims.diag_mask else dynamic
+        per_pos = pff(params["pff_classifier"],
+                      out).astype(jnp.float32)              # (T, 1)
 
     logits = {}
     pp_parts = shard_split(per_pos[:, 0], n_shards, tok_sizes)
@@ -530,7 +571,7 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
 
 
 def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
-                       node_table, n_shards=1):
+                       node_table, n_shards=1, drop_rate=0.3):
     """pad-max attention over the merged stream (see forward_buckets):
     k=2 closed form; k>=3 padded to L with the pad token's h and run as one
     batched attention; real positions scattered back into the stream."""
@@ -551,7 +592,8 @@ def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
         if k == 2:
             dyn2 = mha_dynamic(params["encoder"]["mha"], hk, dims.n_head,
                                dims.dim, dims.dim, diag_mask=dims.diag_mask,
-                               key=keys_enc[i], drop_rate=0.3, train=train,
+                               key=keys_enc[i], drop_rate=drop_rate,
+                               train=train,
                                use_pallas=dims.use_pallas_attention)
             dyn_parts.append((i, dyn2.reshape(n_k * k, -1)))
         else:
@@ -562,7 +604,7 @@ def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
         hp = shard_concat([p[3] for p in padded], n_shards)     # (E, L, d)
         dynp = mha_dynamic(params["encoder"]["mha"], hp, dims.n_head,
                            dims.dim, dims.dim, diag_mask=dims.diag_mask,
-                           key=keys_enc[padded[0][0]], drop_rate=0.3,
+                           key=keys_enc[padded[0][0]], drop_rate=drop_rate,
                            train=train,
                            use_pallas=dims.use_pallas_attention)
         dynp_parts = shard_split(dynp, n_shards,

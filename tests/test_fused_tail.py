@@ -1,0 +1,135 @@
+"""ops/fused_tail.py: the fused dropout->pff_n1->LayerNorms->(dyn-static)^2
+->classifier kernel, in interpret mode on CPU.
+
+Eval-mode numerics + gradients are pinned EXACTLY against the XLA reference
+chain (the model's own modules).  Train-mode dropout uses the in-kernel TPU
+PRNG, which interpret mode cannot run — those paths are validated on real
+TPU (determinism + finite-difference gradient checks; see the module
+docstring)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from matcha_tpu.models.modules import layer_norm, pff
+from matcha_tpu.ops.fused_tail import BT, fused_tail
+
+D = 64
+
+
+def _params(rng):
+    def ln():
+        return {"g": jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0,
+                                 jnp.float32),
+                "b": jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)}
+    pn = {"layers": [
+        {"w": jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)},
+        {"w": jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)},
+    ], "ln": ln()}
+    cl = {"w": jnp.asarray(rng.standard_normal((D, 1)) * 0.3, jnp.float32),
+          "b": jnp.asarray(rng.standard_normal(1) * 0.1, jnp.float32)}
+    return pn, ln(), ln(), cl
+
+
+def _xla_chain(y, h, pn, ln_dyn, ln_st, cl):
+    dyn = pff(pn, y, residual=True)                     # eval: no dropout
+    dynamic = layer_norm(ln_dyn, dyn)
+    static = layer_norm(ln_st, h)
+    out = (dynamic - static) ** 2
+    return (out @ cl["w"].astype(out.dtype)
+            + cl["b"].astype(out.dtype)).astype(jnp.float32)
+
+
+def _pack(pn, ln_dyn, ln_st):
+    return jnp.stack([pn["ln"]["g"], pn["ln"]["b"], ln_dyn["g"],
+                      ln_dyn["b"], ln_st["g"], ln_st["b"]])
+
+
+def test_fused_tail_eval_matches_xla(rng):
+    T = 2 * BT
+    y = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    pn, ln_dyn, ln_st, cl = _params(rng)
+    ref = _xla_chain(y, h, pn, ln_dyn, ln_st, cl)
+    got = fused_tail(y, h, _pack(pn, ln_dyn, ln_st),
+                     pn["layers"][0]["w"], pn["layers"][0]["b"],
+                     pn["layers"][1]["w"], pn["layers"][1]["b"],
+                     cl["w"], cl["b"], jnp.zeros((), jnp.int32),
+                     0.3, 0.4, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_tail_eval_grads_match_xla(rng):
+    T = BT
+    y = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    pn, ln_dyn, ln_st, cl = _params(rng)
+    gg = jnp.asarray(rng.standard_normal((T, 1)), jnp.float32)
+
+    def loss_ref(y, h, pn, ln_dyn, ln_st, cl):
+        return jnp.sum(_xla_chain(y, h, pn, ln_dyn, ln_st, cl) * gg)
+
+    def loss_fused(y, h, pn, ln_dyn, ln_st, cl):
+        pp = fused_tail(y, h, _pack(pn, ln_dyn, ln_st),
+                        pn["layers"][0]["w"], pn["layers"][0]["b"],
+                        pn["layers"][1]["w"], pn["layers"][1]["b"],
+                        cl["w"], cl["b"], jnp.zeros((), jnp.int32),
+                        0.3, 0.4, False)
+        return jnp.sum(pp * gg)
+
+    args = (y, h, pn, ln_dyn, ln_st, cl)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    flat_r, tree_r = jax.tree_util.tree_flatten(g_ref)
+    flat_f, tree_f = jax.tree_util.tree_flatten(g_fus)
+    assert tree_r == tree_f
+    for i, (a, b) in enumerate(zip(flat_r, flat_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"leaf {i}")
+
+
+def test_fused_tail_bf16_eval_close(rng):
+    T = BT
+    y = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    pn, ln_dyn, ln_st, cl = _params(rng)
+    ref = _xla_chain(y, h, pn, ln_dyn, ln_st, cl)
+    got = fused_tail(y, h, _pack(pn, ln_dyn, ln_st),
+                     pn["layers"][0]["w"], pn["layers"][0]["b"],
+                     pn["layers"][1]["w"], pn["layers"][1]["b"],
+                     cl["w"], cl["b"], jnp.zeros((), jnp.int32),
+                     0.3, 0.4, False)
+    r, g = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    corr = np.corrcoef(r.ravel(), g.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_forward_buckets_fused_gate_cpu_eval(monkeypatch, rng):
+    """End-to-end: MATCHA_FUSE_TAIL=1 on CPU (eval mode) routes through the
+    fused kernel in interpret mode and matches the XLA path logits."""
+    import os
+    from __graft_entry__ import _build_problem, _random_buckets
+    from matcha_tpu.models.hypersagnn import forward_buckets
+
+    genome, dims, params, frozen = _build_problem(dim=D, n_head=4, chroms=2)
+    dims = dims._replace(use_pallas_attention=True)
+    buckets = {}
+    rr = np.random.default_rng(1)
+    # token count divisible by BT: 256 k=2 edges -> T = 512
+    rows = []
+    while len(rows) < 256:
+        r = np.sort(rr.integers(1, genome.node_num, 2))
+        if r[0] != r[1]:
+            rows.append(r)
+    buckets[2] = jnp.asarray(np.asarray(rows, np.int32))
+
+    ref = forward_buckets(params, frozen, dims, buckets, train=False)
+    monkeypatch.setenv("MATCHA_FUSE_TAIL", "1")
+    got = forward_buckets(params, frozen, dims, buckets, train=False)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-5, atol=1e-5)
