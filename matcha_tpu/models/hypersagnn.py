@@ -500,16 +500,19 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     # from HBM ~15 times.  The attention-output dropout (0.3) moves INSIDE
     # the kernel (in-kernel PRNG), so attention runs with drop_rate=0.
     # Opt-in (MATCHA_FUSE_TAIL=1) until TPU-validated; CPU eval-mode only
-    # (interpret mode has no PRNG); mesh path keeps XLA (no shard_map wrap
-    # for this kernel yet).
+    # (interpret mode has no PRNG); under a pure-DP mesh the kernel is
+    # shard_mapped over "data" like the other Pallas call sites.
     import os as _os
     from matcha_tpu.ops.fused_tail import BT as _FT_BT
     from matcha_tpu.parallel.mesh import active_data_mesh as _adm
     T_tok = int(flat.shape[0])
+    mesh_ft = _adm()
+    ft_quantum = _FT_BT * (int(mesh_ft.shape["data"])
+                           if mesh_ft is not None else 1)
     use_fused_tail = (
         _os.environ.get("MATCHA_FUSE_TAIL", "0") == "1"
         and dims.diag_mask and dims.use_pallas_attention
-        and T_tok % _FT_BT == 0 and _adm() is None
+        and T_tok % ft_quantum == 0
         and (jax.default_backend() != "cpu" or not train))
     attn_drop = 0.0 if use_fused_tail else 0.3
     if attention_mode == "pad-max" and len(shapes) > 1:
@@ -544,10 +547,15 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
                                       dtype=jnp.int32)
         else:
             seed = jnp.zeros((), jnp.int32)
-        per_pos = fused_tail(
-            dyn, h, ln6, pn["layers"][0]["w"], pn["layers"][0]["b"],
-            pn["layers"][1]["w"], pn["layers"][1]["b"], cl["w"], cl["b"],
-            seed, 0.3, 0.4, train)                          # (T, 1) f32
+        ft_args = (dyn, h, ln6, pn["layers"][0]["w"], pn["layers"][0]["b"],
+                   pn["layers"][1]["w"], pn["layers"][1]["b"], cl["w"],
+                   cl["b"], seed)
+        if mesh_ft is not None:
+            from matcha_tpu.ops.fused_tail import fused_tail_sharded
+            per_pos = fused_tail_sharded(*ft_args, 0.3, 0.4, train,
+                                         mesh_ft)           # (T, 1) f32
+        else:
+            per_pos = fused_tail(*ft_args, 0.3, 0.4, train)  # (T, 1) f32
     else:
         dyn = pff(params["encoder"]["pff_n1"], dyn, residual=True,
                   key=keys_enc[-1], drop_rate=0.4, train=train)

@@ -210,17 +210,20 @@ def _common_in_specs(bt, d):
             rep((d, d)), rep((d,)), rep((d, 1)), rep((1,))], toks, rep
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def fused_tail(y, h, ln6, w1, b1, w2, b2, wc, bc, seed,
-               r0: float, r1: float, train: bool):
+               r0: float, r1: float, train: bool, vma=None):
+    # vma: shard_map varying-axes set for the pallas out_shapes
+    # (required by check_vma when called inside fused_tail_sharded)
     """(T,) per-position classifier logits from the attention output ``y``
     (pre-dropout) and the static stream ``h``; see module docstring."""
     pp, _ = _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed,
-                    r0, r1, train)
+                    r0, r1, train, vma)
     return pp
 
 
-def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train):
+def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train,
+            vma=None):
     T, d = y.shape
     assert T % BT == 0, f"T={T} not divisible by {BT}"
     f32 = jnp.float32
@@ -230,7 +233,7 @@ def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train):
         partial(_fwd_kernel, r0=r0, r1=r1, train=train),
         grid=(T // BT,), in_specs=in_specs,
         out_specs=pl.BlockSpec((BT, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, 1), f32),
+        out_shape=jax.ShapeDtypeStruct((T, 1), f32, vma=vma),
         interpret=interpret)(
         jnp.asarray(seed, jnp.int32).reshape(1, 1), y, h, ln6,
         w1.astype(y.dtype), b1.astype(f32), w2.astype(y.dtype),
@@ -238,7 +241,7 @@ def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train):
     return pp, (y, h, ln6, w1, b1, w2, b2, wc, bc, seed)
 
 
-def _ft_bwd(r0, r1, train, res, g):
+def _ft_bwd(r0, r1, train, vma, res, g):
     y, h, ln6, w1, b1, w2, b2, wc, bc, seed = res
     T, d = y.shape
     f32 = jnp.float32
@@ -247,15 +250,15 @@ def _ft_bwd(r0, r1, train, res, g):
     in_specs.append(pl.BlockSpec((BT, 1), lambda i: (i, 0)))
     out_specs = [toks, toks, rep((6, d)), rep((d, d)), rep((d,)),
                  rep((d, d)), rep((d,)), rep((d, 1)), rep((1,))]
-    out_shape = [jax.ShapeDtypeStruct((T, d), y.dtype),
-                 jax.ShapeDtypeStruct((T, d), h.dtype),
-                 jax.ShapeDtypeStruct((6, d), f32),
-                 jax.ShapeDtypeStruct((d, d), f32),
-                 jax.ShapeDtypeStruct((d,), f32),
-                 jax.ShapeDtypeStruct((d, d), f32),
-                 jax.ShapeDtypeStruct((d,), f32),
-                 jax.ShapeDtypeStruct((d, 1), f32),
-                 jax.ShapeDtypeStruct((1,), f32)]
+    out_shape = [jax.ShapeDtypeStruct((T, d), y.dtype, vma=vma),
+                 jax.ShapeDtypeStruct((T, d), h.dtype, vma=vma),
+                 jax.ShapeDtypeStruct((6, d), f32, vma=vma),
+                 jax.ShapeDtypeStruct((d, d), f32, vma=vma),
+                 jax.ShapeDtypeStruct((d,), f32, vma=vma),
+                 jax.ShapeDtypeStruct((d, d), f32, vma=vma),
+                 jax.ShapeDtypeStruct((d,), f32, vma=vma),
+                 jax.ShapeDtypeStruct((d, 1), f32, vma=vma),
+                 jax.ShapeDtypeStruct((1,), f32, vma=vma)]
     gy, gh, gln, gw1, gb1, gw2, gb2, gwc, gbc = pl.pallas_call(
         partial(_bwd_kernel, r0=r0, r1=r1, train=train),
         grid=(T // BT,), in_specs=in_specs, out_specs=out_specs,
@@ -271,3 +274,28 @@ def _ft_bwd(r0, r1, train, res, g):
 
 
 fused_tail.defvjp(_ft_fwd, _ft_bwd)
+
+
+def fused_tail_sharded(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1,
+                       train, mesh):
+    """fused_tail shard_mapped over the mesh "data" axis (Pallas custom
+    calls have no GSPMD rule — see parallel/mesh.py).  Replicated params
+    are pcast-to-varying so their gradient partials psum in the shard_map
+    transpose; each shard offsets the PRNG seed by its data index so
+    dropout masks differ across shards."""
+    from jax.sharding import PartitionSpec as P
+
+    def inner(yy, hh, *rest):
+        *ws, sd = rest
+        shard = jax.lax.axis_index("data").astype(jnp.int32)
+        return fused_tail(yy, hh, *ws, sd + shard * jnp.int32(1 << 20),
+                          r0, r1, train)
+
+    # check_vma=False: the kernel body creates internal constants (LN
+    # divisors etc.) whose empty vma set trips the checker; with the check
+    # off, the shard_map transpose still psums the cotangents of the
+    # P()-replicated weight inputs (pinned by the sharded-grads test)
+    return jax.shard_map(
+        inner, mesh=mesh, check_vma=False,
+        in_specs=(P("data"), P("data")) + (P(),) * 8,
+        out_specs=P("data"))(y, h, ln6, w1, b1, w2, b2, wc, bc, seed)

@@ -133,3 +133,43 @@ def test_forward_buckets_fused_gate_cpu_eval(monkeypatch, rng):
     got = forward_buckets(params, frozen, dims, buckets, train=False)
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_tail_sharded_matches_unsharded(rng):
+    """Eval-mode shard_map wrap over the 8-device CPU mesh: numerics +
+    weight gradients equal the unsharded kernel."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from matcha_tpu.ops.fused_tail import fused_tail_sharded
+    from matcha_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    T = 8 * BT
+    y = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    pn, ln_dyn, ln_st, cl = _params(rng)
+    args = (_pack(pn, ln_dyn, ln_st),
+            pn["layers"][0]["w"], pn["layers"][0]["b"],
+            pn["layers"][1]["w"], pn["layers"][1]["b"],
+            cl["w"], cl["b"], jnp.zeros((), jnp.int32))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    hs = jax.device_put(h, NamedSharding(mesh, P("data")))
+
+    ref = fused_tail(y, h, *args, 0.3, 0.4, False)
+    got = jax.jit(lambda a, b: fused_tail_sharded(
+        a, b, *args, 0.3, 0.4, False, mesh))(ys, hs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_s(w1):
+        pp = fused_tail_sharded(ys, hs, args[0], w1, *args[2:], 0.3, 0.4,
+                                False, mesh)
+        return jnp.sum(pp ** 2)
+
+    def loss_u(w1):
+        pp = fused_tail(y, h, args[0], w1, *args[2:], 0.3, 0.4, False)
+        return jnp.sum(pp ** 2)
+
+    g1 = jax.jit(jax.grad(loss_s))(args[1])
+    g2 = jax.jit(jax.grad(loss_u))(args[1])
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
