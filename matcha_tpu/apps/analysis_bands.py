@@ -11,9 +11,10 @@ drivers train on (``{lo}_{hi}_{size}.npy``, ref main_SPRITE.py:580-591).
 The reference spreads this over two 10/100-worker process pools and ~5,500
 intermediate per-anchor ``.npy`` dict files because its per-anchor Python
 loop is the unit of work; the vectorized/native counter does the same count
-in one pass, so the out-of-core staging disappears.  The open upper band is
-also written (``upper_{size}.npy``) — the reference computes it but its
-final block only prints the shape without saving (analysis_SPRITE.py:160-167).
+in one pass, so the out-of-core staging disappears.  The open upper band
+is written as ``upper_{size}.npy`` (same name as the reference's final
+``np.save``, analysis_SPRITE.py:167; its i==0 anchor skip in that concat is
+vacuous for 1-based node ids).
 """
 
 from __future__ import annotations

@@ -513,7 +513,8 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
         _os.environ.get("MATCHA_FUSE_TAIL", "0") == "1"
         and dims.diag_mask and dims.use_pallas_attention
         and T_tok % ft_quantum == 0
-        and (jax.default_backend() != "cpu" or not train))
+        and (jax.default_backend() != "cpu"
+             or not (train and k_enc is not None)))
     attn_drop = 0.0 if use_fused_tail else 0.3
     if attention_mode == "pad-max" and len(shapes) > 1:
         dyn = _attention_pad_max(params, frozen, dims, h, shapes, keys_enc,
@@ -533,15 +534,14 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
             dyn_parts.append(dyn_k.reshape(n_k * k, -1))
         dyn = shard_concat(dyn_parts, n_shards)                  # (T, d)
     if use_fused_tail:
-        from matcha_tpu.ops.fused_tail import fused_tail
+        from matcha_tpu.ops.fused_tail import fused_tail, pack_ln6
         pn = params["encoder"]["pff_n1"]
-        ln6 = jnp.stack([
-            pn["ln"]["g"], pn["ln"]["b"],
-            params["ln_dynamic"]["g"], params["ln_dynamic"]["b"],
-            params["ln_static"]["g"], params["ln_static"]["b"],
-        ]).astype(jnp.float32)
+        ln6 = pack_ln6(pn["ln"], params["ln_dynamic"], params["ln_static"])
         cl = params["pff_classifier"]["layers"][0]
-        if train and keys_enc[-1] is not None:
+        # no key => the XLA path's dropout no-ops; mirror that exactly
+        # (train with a zero seed would apply the same fixed mask every call)
+        ft_train = train and keys_enc[-1] is not None
+        if ft_train:
             seed = jax.random.randint(keys_enc[-1], (), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
@@ -552,10 +552,11 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
                    cl["b"], seed)
         if mesh_ft is not None:
             from matcha_tpu.ops.fused_tail import fused_tail_sharded
-            per_pos = fused_tail_sharded(*ft_args, 0.3, 0.4, train,
+            per_pos = fused_tail_sharded(*ft_args, 0.3, 0.4, ft_train,
                                          mesh_ft)           # (T, 1) f32
         else:
-            per_pos = fused_tail(*ft_args, 0.3, 0.4, train)  # (T, 1) f32
+            per_pos = fused_tail(*ft_args, 0.3, 0.4,
+                                 ft_train)                   # (T, 1) f32
     else:
         dyn = pff(params["encoder"]["pff_n1"], dyn, residual=True,
                   key=keys_enc[-1], drop_rate=0.4, train=train)

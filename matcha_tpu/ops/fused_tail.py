@@ -62,15 +62,17 @@ def _mask(shape, rate: float):
     """Inverted-dropout keep mask scaled by 1/(1-rate), from the per-core
     PRNG (consumes one prng_random_bits call; call order must match between
     forward and backward)."""
-    bits = pltpu.prng_random_bits(shape)                  # uint32
-    # top 24 bits -> uniform [0, 1)
+    # prng_random_bits returns int32 in this JAX version; bitcast to
+    # uint32 before the logical shift (top 24 bits -> uniform [0, 1))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     u = (jax.lax.shift_right_logical(bits, jnp.uint32(8))
          .astype(jnp.float32) * (1.0 / (1 << 24)))
     return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
 
 
 def _stage_fwd(y, h, ln_ref, w1_ref, b1_ref, w2_ref, b2_ref, wc_ref,
-               bc_ref, *, r0: float, r1: float, train: bool):
+               bc_ref, *, r0: float, r1: float, train: bool,
+               need_pp: bool = True):
     """The fused chain on one (bt, d) block; returns every intermediate the
     backward needs (all recomputed there — this helper is shared)."""
     dt = y.dtype
@@ -102,10 +104,13 @@ def _stage_fwd(y, h, ln_ref, w1_ref, b1_ref, w2_ref, b2_ref, wc_ref,
     static, xs, inv_s = _ln_fwd(h, ln[4], ln[5])           # ln_static
     diff = dynamic.astype(f32) - static.astype(f32)
     out = (diff * diff).astype(dt)
-    pp = (jax.lax.dot_general(out, wc_ref[...].astype(dt),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32)
-          + bc_ref[...].astype(f32))                        # (bt, 1) f32
+    if need_pp:
+        pp = (jax.lax.dot_general(out, wc_ref[...].astype(dt),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+              + bc_ref[...].astype(f32))                    # (bt, 1) f32
+    else:
+        pp = None                       # backward recompute stops at `out`
     return (pp, d0, m0, h1, m1, hd, xo, inv_o, xd, inv_d, xs, inv_s,
             diff, out)
 
@@ -128,11 +133,10 @@ def _bwd_kernel(seed_ref, y_ref, h_ref, ln_ref, w1_ref, b1_ref, w2_ref,
     if train and (r0 > 0.0 or r1 > 0.0):
         # identical seed + call order -> identical masks as the forward
         pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
-    (pp, d0, m0, h1, m1, hd, xo, inv_o, xd, inv_d, xs, inv_s,
+    (_, d0, m0, h1, m1, hd, xo, inv_o, xd, inv_d, xs, inv_s,
      diff, out) = _stage_fwd(y_ref[...], h_ref[...], ln_ref, w1_ref, b1_ref,
                              w2_ref, b2_ref, wc_ref, bc_ref,
-                             r0=r0, r1=r1, train=train)
-    del pp
+                             r0=r0, r1=r1, train=train, need_pp=False)
     ln = ln_ref[...]
     g = g_ref[...]                                         # (bt, 1) f32
 
@@ -196,7 +200,10 @@ def _bwd_kernel(seed_ref, y_ref, h_ref, ln_ref, w1_ref, b1_ref, w2_ref,
     gbc_ref[...] += gbc
 
 
-def _pack_ln6(ln_pff, ln_dyn, ln_st):
+def pack_ln6(ln_pff, ln_dyn, ln_st):
+    """The (6, d) LN parameter stack in the row order the kernels index
+    (pff_n1 ln g/b, ln_dynamic g/b, ln_static g/b) — the ONLY place that
+    order is defined; all callers must use this."""
     return jnp.stack([ln_pff["g"], ln_pff["b"], ln_dyn["g"], ln_dyn["b"],
                       ln_st["g"], ln_st["b"]]).astype(jnp.float32)
 
@@ -210,20 +217,17 @@ def _common_in_specs(bt, d):
             rep((d, d)), rep((d,)), rep((d, 1)), rep((1,))], toks, rep
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def fused_tail(y, h, ln6, w1, b1, w2, b2, wc, bc, seed,
-               r0: float, r1: float, train: bool, vma=None):
-    # vma: shard_map varying-axes set for the pallas out_shapes
-    # (required by check_vma when called inside fused_tail_sharded)
+               r0: float, r1: float, train: bool):
     """(T,) per-position classifier logits from the attention output ``y``
     (pre-dropout) and the static stream ``h``; see module docstring."""
     pp, _ = _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed,
-                    r0, r1, train, vma)
+                    r0, r1, train)
     return pp
 
 
-def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train,
-            vma=None):
+def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train):
     T, d = y.shape
     assert T % BT == 0, f"T={T} not divisible by {BT}"
     f32 = jnp.float32
@@ -233,7 +237,7 @@ def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train,
         partial(_fwd_kernel, r0=r0, r1=r1, train=train),
         grid=(T // BT,), in_specs=in_specs,
         out_specs=pl.BlockSpec((BT, 1), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, 1), f32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((T, 1), f32),
         interpret=interpret)(
         jnp.asarray(seed, jnp.int32).reshape(1, 1), y, h, ln6,
         w1.astype(y.dtype), b1.astype(f32), w2.astype(y.dtype),
@@ -241,7 +245,7 @@ def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train,
     return pp, (y, h, ln6, w1, b1, w2, b2, wc, bc, seed)
 
 
-def _ft_bwd(r0, r1, train, vma, res, g):
+def _ft_bwd(r0, r1, train, res, g):
     y, h, ln6, w1, b1, w2, b2, wc, bc, seed = res
     T, d = y.shape
     f32 = jnp.float32
@@ -250,15 +254,15 @@ def _ft_bwd(r0, r1, train, vma, res, g):
     in_specs.append(pl.BlockSpec((BT, 1), lambda i: (i, 0)))
     out_specs = [toks, toks, rep((6, d)), rep((d, d)), rep((d,)),
                  rep((d, d)), rep((d,)), rep((d, 1)), rep((1,))]
-    out_shape = [jax.ShapeDtypeStruct((T, d), y.dtype, vma=vma),
-                 jax.ShapeDtypeStruct((T, d), h.dtype, vma=vma),
-                 jax.ShapeDtypeStruct((6, d), f32, vma=vma),
-                 jax.ShapeDtypeStruct((d, d), f32, vma=vma),
-                 jax.ShapeDtypeStruct((d,), f32, vma=vma),
-                 jax.ShapeDtypeStruct((d, d), f32, vma=vma),
-                 jax.ShapeDtypeStruct((d,), f32, vma=vma),
-                 jax.ShapeDtypeStruct((d, 1), f32, vma=vma),
-                 jax.ShapeDtypeStruct((1,), f32, vma=vma)]
+    out_shape = [jax.ShapeDtypeStruct((T, d), y.dtype),
+                 jax.ShapeDtypeStruct((T, d), h.dtype),
+                 jax.ShapeDtypeStruct((6, d), f32),
+                 jax.ShapeDtypeStruct((d, d), f32),
+                 jax.ShapeDtypeStruct((d,), f32),
+                 jax.ShapeDtypeStruct((d, d), f32),
+                 jax.ShapeDtypeStruct((d,), f32),
+                 jax.ShapeDtypeStruct((d, 1), f32),
+                 jax.ShapeDtypeStruct((1,), f32)]
     gy, gh, gln, gw1, gb1, gw2, gb2, gwc, gbc = pl.pallas_call(
         partial(_bwd_kernel, r0=r0, r1=r1, train=train),
         grid=(T // BT,), in_specs=in_specs, out_specs=out_specs,

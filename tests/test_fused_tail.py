@@ -173,3 +173,22 @@ def test_fused_tail_sharded_matches_unsharded(rng):
     g2 = jax.jit(jax.grad(loss_u))(args[1])
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_tail_train_mode_traces(rng):
+    """Train mode (in-kernel PRNG dropout) cannot EXECUTE on CPU, but it
+    must TRACE cleanly — a dtype mismatch in the mask bit manipulation once
+    broke every train-mode use at trace time on all backends."""
+    y = jnp.asarray(rng.standard_normal((BT, D)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((BT, D)), jnp.float32)
+    pn, ln_dyn, ln_st, cl = _params(rng)
+    args = (y, h, _pack(pn, ln_dyn, ln_st),
+            pn["layers"][0]["w"], pn["layers"][0]["b"],
+            pn["layers"][1]["w"], pn["layers"][1]["b"],
+            cl["w"], cl["b"], jnp.zeros((), jnp.int32))
+    out = jax.eval_shape(lambda *a: fused_tail(*a, 0.3, 0.4, True), *args)
+    assert out.shape == (BT, 1)
+    g = jax.eval_shape(
+        lambda *a: jax.grad(
+            lambda *aa: jnp.sum(fused_tail(*aa, 0.3, 0.4, True)))(*a), *args)
+    assert g.shape == (BT, D)

@@ -34,8 +34,10 @@ def _train_and_eval(type_counts, edges_train, edges_test, type_names=None,
     from matcha_tpu.train.runtime import Trainer, TrainSettings
 
     k = edges_train.shape[1]
+    # frozen feature tables from TRAIN edges only — deriving them from the
+    # combined set would leak test co-membership into the input features
     space, dims, params, frozen, table = build_generic_problem(
-        type_counts, np.concatenate([edges_train, edges_test]).tolist(),
+        type_counts, edges_train.tolist(),
         dim=16, n_head=4, type_names=type_names, seed=seed)
     w_tr = np.ones(len(edges_train), np.float32)
     w_te = np.ones(len(edges_test), np.float32)
@@ -83,7 +85,7 @@ def test_real_sprite_kmers_learnable(rng):
     perm = rng.permutation(len(edges))
     m = _train_and_eval(counts, edges[perm[:n_tr]], edges[perm[n_tr:]],
                         type_names=names)
-    assert m["auroc"] > 0.80, f"real-SPRITE AUROC too low: {m}"
+    assert m["auroc"] > 0.70, f"real-SPRITE AUROC too low: {m}"
 
 
 @pytest.mark.slow
@@ -102,4 +104,4 @@ def test_real_drop_dataset_learnable(rng):
     n_tr = int(0.8 * len(edges))
     perm = rng.permutation(len(edges))
     m = _train_and_eval(counts, edges[perm[:n_tr]], edges[perm[n_tr:]])
-    assert m["auroc"] > 0.70, f"real-drop AUROC too low: {m}"
+    assert m["auroc"] > 0.72, f"real-drop AUROC too low: {m}"
