@@ -192,3 +192,59 @@ def test_fused_tail_train_mode_traces(rng):
         lambda *a: jax.grad(
             lambda *aa: jnp.sum(fused_tail(*aa, 0.3, 0.4, True)))(*a), *args)
     assert g.shape == (BT, D)
+
+
+def test_forward_buckets_fused_gate_padmax_cpu_eval(monkeypatch, rng):
+    """Fused tail under the hybrid (pad-max) attention mode: same logits
+    as the XLA tail (eval, CPU interpret)."""
+    from __graft_entry__ import _build_problem
+    from matcha_tpu.models.hypersagnn import forward_buckets
+
+    genome, dims, params, frozen = _build_problem(dim=D, n_head=4, chroms=2)
+    dims = dims._replace(use_pallas_attention=True)
+    rr = np.random.default_rng(2)
+    buckets = {}
+    # T = 128*2 + 256*3 = 1024 tokens, divisible by BT=512
+    for k, n in ((2, 128), (3, 256)):
+        rows = []
+        while len(rows) < n:
+            r = np.sort(rr.integers(1, genome.node_num, k))
+            if (np.diff(r) > 0).all():
+                rows.append(r)
+        buckets[k] = jnp.asarray(np.asarray(rows, np.int32))
+
+    ref = forward_buckets(params, frozen, dims, buckets, train=False,
+                          attention_mode="pad-max")
+    monkeypatch.setenv("MATCHA_FUSE_TAIL", "1")
+    got = forward_buckets(params, frozen, dims, buckets, train=False,
+                          attention_mode="pad-max")
+    for k in buckets:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(k))
+
+
+def test_forward_buckets_fused_gate_mesh_cpu_eval(monkeypatch, rng):
+    """Fused tail under an active pure-DP mesh routes through
+    fused_tail_sharded and matches the XLA tail (eval, CPU interpret)."""
+    from __graft_entry__ import _build_problem
+    from matcha_tpu.models.hypersagnn import forward_buckets
+    from matcha_tpu.parallel.mesh import make_mesh, using_active_mesh
+
+    genome, dims, params, frozen = _build_problem(dim=D, n_head=4, chroms=2)
+    dims = dims._replace(use_pallas_attention=True)
+    rr = np.random.default_rng(3)
+    rows = []
+    # T = 2048*2 = 4096 = 8 shards x BT
+    while len(rows) < 2048:
+        r = np.sort(rr.integers(1, genome.node_num, 2))
+        if r[0] != r[1]:
+            rows.append(r)
+    buckets = {2: jnp.asarray(np.asarray(rows, np.int32))}
+
+    ref = forward_buckets(params, frozen, dims, buckets, train=False)
+    mesh = make_mesh(n_data=8, n_model=1)
+    monkeypatch.setenv("MATCHA_FUSE_TAIL", "1")
+    with using_active_mesh(mesh):
+        got = forward_buckets(params, frozen, dims, buckets, train=False)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-5, atol=1e-5)
