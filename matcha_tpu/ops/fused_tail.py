@@ -58,16 +58,22 @@ def _ln_bwd(g_out, xhat, inv, g):
     return g_x, gg, gb
 
 
-def _mask(shape, rate: float):
-    """Inverted-dropout keep mask scaled by 1/(1-rate), from the per-core
-    PRNG (consumes one prng_random_bits call; call order must match between
-    forward and backward)."""
-    # prng_random_bits returns int32 in this JAX version; bitcast to
-    # uint32 before the logical shift (top 24 bits -> uniform [0, 1))
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    u = (jax.lax.shift_right_logical(bits, jnp.uint32(8))
+def bits_to_mask(bits_u32, rate: float):
+    """uint32 random bits -> inverted-dropout keep mask scaled by
+    1/(1-rate) (top 24 bits -> uniform [0, 1); keep iff u >= rate).
+    Pure jnp so the transform is CPU-testable outside the kernel."""
+    u = (jax.lax.shift_right_logical(bits_u32, jnp.uint32(8))
          .astype(jnp.float32) * (1.0 / (1 << 24)))
     return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
+
+
+def _mask(shape, rate: float):
+    """In-kernel dropout mask (consumes one prng_random_bits call; call
+    order must match between forward and backward)."""
+    # prng_random_bits returns int32 in this JAX version; bitcast to
+    # uint32 before the logical shift
+    return bits_to_mask(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                      jnp.uint32), rate)
 
 
 def _stage_fwd(y, h, ln_ref, w1_ref, b1_ref, w2_ref, b2_ref, wc_ref,

@@ -248,3 +248,19 @@ def test_forward_buckets_fused_gate_mesh_cpu_eval(monkeypatch, rng):
         got = forward_buckets(params, frozen, dims, buckets, train=False)
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bits_to_mask_statistics(rng):
+    """The bit->mask transform (shared with the kernel) realizes inverted
+    dropout: keep rate ~= 1-rate, kept entries scaled by 1/(1-rate),
+    E[mask] ~= 1."""
+    from matcha_tpu.ops.fused_tail import bits_to_mask
+    bits = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(1 << 16), dtype=np.uint64)
+        .astype(np.uint32))
+    for rate in (0.3, 0.4):
+        m = np.asarray(bits_to_mask(bits, rate))
+        keep = (m > 0).mean()
+        assert abs(keep - (1.0 - rate)) < 0.01, (rate, keep)
+        np.testing.assert_allclose(m[m > 0], 1.0 / (1.0 - rate), rtol=1e-6)
+        assert abs(m.mean() - 1.0) < 0.02
