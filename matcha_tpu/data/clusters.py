@@ -65,7 +65,14 @@ def _parse_lines(lines: Iterable[str], genome: GenomeBins,
 
 def parse_clusters(path: str, genome: GenomeBins, max_cluster_size: int,
                    ) -> Tuple[np.ndarray, np.ndarray]:
-    """Parse a ``.clusters`` file -> (flat int32 members, int64 offsets)."""
+    """Parse a ``.clusters`` file -> (flat int32 members, int64 offsets).
+
+    Uses the multithreaded mmap C++ parser when available (the Python
+    line loop is hours on real 4DN-scale inputs); _parse_lines is the
+    fallback and the oracle the native kernel is pinned against."""
+    from matcha_tpu.native import cluster_native
+    if cluster_native.available():
+        return cluster_native.parse_clusters(path, genome, max_cluster_size)
     with open(path) as f:
         return _parse_lines(f, genome, max_cluster_size)
 

@@ -223,3 +223,45 @@ def test_shard_clusters_empty_shard():
     offsets = np.array([0, 2, 4], dtype=np.int64)
     sf, so = shard_clusters(flat, offsets, 2, 3)   # only 2 clusters
     assert sf.size == 0 and so.tolist() == [0]
+
+
+def test_native_cluster_parser_matches_python(tiny_genome, rng, tmp_path):
+    """The mmap C++ .clusters parser must reproduce the Python oracle
+    exactly — including raw-cap counting of EMPTY fields, unknown-chrom
+    drops, bin flooring, dedup+sort, and distinct-size bounds."""
+    from matcha_tpu.native import cluster_native
+    if not cluster_native.available():
+        pytest.skip("native cluster parser unavailable")
+    g = tiny_genome
+    res = g.resolution
+    lines = []
+    for i in range(4000):
+        m = int(rng.integers(0, 30))
+        parts = [f"c{i}"]
+        for _ in range(m):
+            ci = int(rng.integers(0, len(g.chrom_names) + 1))
+            if ci == len(g.chrom_names):
+                parts.append(f"chrUn:{int(rng.integers(0, 10 ** 7))}")
+            else:
+                size = g.chrom_sizes[ci]
+                parts.append(
+                    f"{g.chrom_names[ci]}:{int(rng.integers(0, size))}")
+        lines.append("\t".join(parts))
+    # edge cases: huge raw line (over cap), trailing tab (empty field),
+    # all-duplicate members, line without trailing newline at EOF
+    big = "\t".join(["huge"] + [f"chr1:{j * res}" for j in range(30 * 50)])
+    lines.append(big)
+    lines.append("trail\tchr1:0\tchr2:5000000\t")
+    lines.append("dups\tchr1:100\tchr1:200\tchr1:300")  # same bin -> 1 node
+    path = tmp_path / "synth.clusters"
+    path.write_text("\n".join(lines))   # no trailing newline
+
+    from matcha_tpu.data.clusters import _parse_lines
+    with open(path) as f:
+        pf, po = _parse_lines(f, g, max_cluster_size=25)
+    nf, no = cluster_native.parse_clusters(str(path), g, 25)
+    assert (po == no).all()
+    assert (pf == nf).all()
+    # threads=1 and threads=8 agree (order preservation across chunks)
+    nf1, no1 = cluster_native.parse_clusters(str(path), g, 25, n_threads=8)
+    assert (no == no1).all() and (nf == nf1).all()
