@@ -226,8 +226,8 @@ def _common_in_specs(bt, d):
 @partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def fused_tail(y, h, ln6, w1, b1, w2, b2, wc, bc, seed,
                r0: float, r1: float, train: bool):
-    """(T,) per-position classifier logits from the attention output ``y``
-    (pre-dropout) and the static stream ``h``; see module docstring."""
+    """(T, 1) f32 per-position classifier logits from the attention
+    output ``y`` (pre-dropout) and the static stream ``h``."""
     pp, _ = _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed,
                     r0, r1, train)
     return pp
@@ -289,10 +289,10 @@ fused_tail.defvjp(_ft_fwd, _ft_bwd)
 def fused_tail_sharded(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1,
                        train, mesh):
     """fused_tail shard_mapped over the mesh "data" axis (Pallas custom
-    calls have no GSPMD rule — see parallel/mesh.py).  Replicated params
-    are pcast-to-varying so their gradient partials psum in the shard_map
-    transpose; each shard offsets the PRNG seed by its data index so
-    dropout masks differ across shards."""
+    calls have no GSPMD rule — see parallel/mesh.py).  Params enter with
+    P() (replicated) in_specs, so the shard_map transpose psums their
+    per-shard gradient partials; each shard offsets the PRNG seed by its
+    data index so dropout masks differ across shards."""
     from jax.sharding import PartitionSpec as P
 
     def inner(yy, hh, *rest):
