@@ -89,8 +89,7 @@ def save_edge_list(temp_dir: str, flat: np.ndarray, offsets: np.ndarray) -> None
     np.save(os.path.join(temp_dir, "edge_members.npy"), flat)
     np.save(os.path.join(temp_dir, "edge_offsets.npy"), offsets)
     ragged = np.empty(len(offsets) - 1, dtype=object)
-    for i in range(len(offsets) - 1):
-        ragged[i] = flat[offsets[i]:offsets[i + 1]].tolist()
+    ragged[:] = clusters_to_list(flat, offsets)
     np.save(os.path.join(temp_dir, "edge_list.npy"), ragged)
 
 

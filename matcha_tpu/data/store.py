@@ -95,8 +95,8 @@ class HyperedgeStore:
         offsets = np.cumsum([0] + [len(e) for e in pos_edges])
         for ki, k in enumerate(self.k_list):
             lo, hi = offsets[ki], offsets[ki + 1]
-            sel = idx[(idx >= lo) & (idx < hi)] - lo
-            out[k] = (pos_edges[ki][sel], weights[idx[(idx >= lo) & (idx < hi)]])
+            rows = idx[(idx >= lo) & (idx < hi)]
+            out[k] = (pos_edges[ki][rows - lo], weights[rows])
         return out
 
     # --------------------------------------------------------------- utility

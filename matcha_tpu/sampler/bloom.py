@@ -126,6 +126,15 @@ def _geometry(capacity: int, error_rate: float,
         return m_bits, 2, True
     m_bits = int(math.ceil(-capacity * math.log(error_rate) / (math.log(2) ** 2)))
     m_bits = ((m_bits + 31) // 32) * 32
+    if m_bits >= (1 << 32):
+        # the classic path's bit indices are uint32 (h % m_bits) — beyond
+        # 2^32 bits they would silently wrap to a wrong modulus.  At this
+        # capacity the blocked layout (bit indices bounded by the word
+        # count, safe to ~10^9 items) is the intended configuration.
+        raise ValueError(
+            f"bloom geometry overflows uint32 indexing: capacity={capacity} "
+            f"error_rate={error_rate} needs {m_bits} bits (>= 2^32); use "
+            f"the blocked layout (error_rate >= 2.9e-4)")
     n_hashes = max(1, round(m_bits / capacity * math.log(2)))
     return m_bits, n_hashes, False
 

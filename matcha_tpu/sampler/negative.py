@@ -179,7 +179,11 @@ def sample_negatives_with_stats(
         reference re-randomizes values, not positions, Code/main.py:389-407);
         returns (sorted candidate, gaps-ok, accepted)."""
         u = jax.random.uniform(k_round, (n, k))
-        cand = (lo + jnp.floor((hi - lo) * u)).astype(jnp.int32)
+        # min() guard: f32 rounding can make (hi-lo)*u == hi-lo for u near
+        # 1, which would land cand on hi itself — the next chromosome's
+        # first node (or one past the table on the last chromosome)
+        cand = (lo + jnp.minimum(jnp.floor((hi - lo) * u),
+                                 hi - lo - 1.0)).astype(jnp.int32)
         t = sort_small(jnp.where(change, cand, orig))
         ok = jnp.all(jnp.diff(t, axis=-1) > min_distance, axis=-1)
         return t, ok, ok & ~bloom.contains(t)
@@ -200,7 +204,9 @@ def sample_negatives_with_stats(
     S = T if max_probes is None else max(1, min(int(max_probes), T))
     key, kt = jax.random.split(key)
     u = jax.random.uniform(kt, (T, n, k))
-    cand = (lo[None] + jnp.floor((hi - lo)[None] * u)).astype(jnp.int32)
+    # same f32-rounding guard as in propose(): never land on hi itself
+    cand = (lo[None] + jnp.minimum(jnp.floor((hi - lo)[None] * u),
+                                   (hi - lo - 1.0)[None])).astype(jnp.int32)
     temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
     temp = sort_small(temp)
     ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)

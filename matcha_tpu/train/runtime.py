@@ -34,7 +34,7 @@ from matcha_tpu.models.hypersagnn import (FrozenTables, ModelDims,
                                           encode_node_table, forward,
                                           node_embeddings)
 from matcha_tpu.sampler.bloom import DeviceBloomFilter, build_bloom_dict
-from matcha_tpu.sampler.negative import (ChromTable, assemble_batch,
+from matcha_tpu.sampler.negative import (ChromTable,
                                          sample_negatives_with_stats)
 from matcha_tpu.train.metrics import format_metrics, size_stratified_metrics
 
@@ -106,9 +106,10 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
                                       settings, batch, key, node_table, train)
         return _batch_loss_merged(params, frozen, dims, table, blooms,
                                   settings, batch, key, node_table, train)
+    # regress mode only from here on (class modes returned above)
     total_bce = 0.0
     total_recon = 0.0
-    preds, ys, sizes = [], [], []
+    preds = []
     fb_bloom = jnp.zeros((), jnp.int32)
     fb_orig = jnp.zeros((), jnp.int32)
     fb_rows = jnp.zeros((), jnp.int32)
@@ -127,29 +128,21 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
         fb_rows += st["rows"]
-        if settings.task_mode == "regress":
-            # pairwise-ranking variant (ref forward_op_batch_regress,
-            # Code/main.py:60-115): y = quantile weight for positives / 0 for
-            # negatives, pred = softplus(logit), MSE loss; the reported
-            # "prediction" is the sigmoid of pos-vs-neg score differences
-            x = jnp.concatenate([pos, neg], axis=0)
-            y = jnp.concatenate([w.reshape(-1),
-                                 jnp.zeros(neg.shape[0])])[:, None]
-            logits, recon = forward(params, frozen, dims, x, key=k_fwd,
-                                    train=train, return_recon=True,
-                                    node_table=node_table)
-            pred = jax.nn.softplus(logits)
-            bce = jnp.mean((pred - y) ** 2)
-            n_pos = pos.shape[0]
-            diff = pred[:n_pos, 0] - pred[n_pos:2 * n_pos, 0]
-            preds.append(jax.nn.sigmoid(diff))
-        else:
-            x, y, ww = assemble_batch(pos, w, neg)
-            logits, recon = forward(params, frozen, dims, x, key=k_fwd,
-                                    train=train, return_recon=True,
-                                    node_table=node_table)
-            bce = jnp.mean(ww * optax.sigmoid_binary_cross_entropy(logits, y))
-            preds.append(jax.nn.sigmoid(logits).reshape(-1))
+        # pairwise-ranking variant (ref forward_op_batch_regress,
+        # Code/main.py:60-115): y = quantile weight for positives / 0 for
+        # negatives, pred = softplus(logit), MSE loss; the reported
+        # "prediction" is the sigmoid of pos-vs-neg score differences
+        x = jnp.concatenate([pos, neg], axis=0)
+        y = jnp.concatenate([w.reshape(-1),
+                             jnp.zeros(neg.shape[0])])[:, None]
+        logits, recon = forward(params, frozen, dims, x, key=k_fwd,
+                                train=train, return_recon=True,
+                                node_table=node_table)
+        pred = jax.nn.softplus(logits)
+        bce = jnp.mean((pred - y) ** 2)
+        n_pos = pos.shape[0]
+        diff = pred[:n_pos, 0] - pred[n_pos:2 * n_pos, 0]
+        preds.append(jax.nn.sigmoid(diff))
         total_bce = total_bce + bce
         total_recon = total_recon + recon
     n_buckets = len(batch)
@@ -504,6 +497,8 @@ class Trainer:
         for k, (e, w) in sorted(train_buckets.items()):
             e = np.asarray(e, np.int32)
             w = np.asarray(w, np.float32)
+            if len(e) == 0:
+                raise ValueError(f"empty bucket for k={k}")
             while len(e) < need:
                 e = np.concatenate([e, e])
                 w = np.concatenate([w, w])
@@ -531,19 +526,7 @@ class Trainer:
         elapsed = time.time() - t0
         shapes = {k: (np.zeros((self._dev_batch, k), np.int32), None)
                   for k in self._dev_buckets}
-        y, size = labels_for_batch(shapes, self.settings)
-        steps = aux["pred"].shape[0]
-        metrics = size_stratified_metrics(np.tile(y, steps),
-                                          aux["pred"].reshape(-1),
-                                          np.tile(size, steps))
-        n = aux["pred"].size
-        rows = max(int(aux["fallback_rows"].sum()), 1)
-        return {"bce": float(aux["bce"].mean()),
-                "recon": float(aux["recon"].mean()),
-                "metrics": metrics, "elapsed": elapsed,
-                "hyperedges_per_sec": n / elapsed,
-                "fallback_bloom_rate": float(aux["fallback_bloom"].sum()) / rows,
-                "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
+        return self._epoch_result(aux, shapes, elapsed=elapsed)
 
     def lower_train_epoch(self, stacked):
         """Lower (don't run) the jitted train epoch for the current mesh and
@@ -556,28 +539,36 @@ class Trainer:
                 self.state, stacked, self.frozen, self.chrom_table,
                 self.blooms or {}, self.blooms is not None)
 
+    def _epoch_result(self, aux, stacked_or_shapes, elapsed=None):
+        """Shared host-side epoch result assembly: labels reconstructed
+        structurally from batch shapes, per-size metrics, sampler
+        fallback telemetry, optional throughput."""
+        y, size = labels_for_batch(stacked_or_shapes, self.settings)
+        steps = aux["pred"].shape[0]
+        metrics = size_stratified_metrics(np.tile(y, steps),
+                                          aux["pred"].reshape(-1),
+                                          np.tile(size, steps))
+        rows = max(int(aux["fallback_rows"].sum()), 1)
+        out = {"bce": float(aux["bce"].mean()),
+               "recon": float(aux["recon"].mean()),
+               "metrics": metrics,
+               # sampler telemetry: fraction of negatives that exhausted all
+               # trials and fell back to a Bloom-hit candidate (mislabeled
+               # likely-positive) or the positive itself
+               "fallback_bloom_rate":
+                   float(aux["fallback_bloom"].sum()) / rows,
+               "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
+        if elapsed is not None:
+            out["elapsed"] = elapsed
+            out["hyperedges_per_sec"] = aux["pred"].size / elapsed
+        return out
+
     def train_epoch(self, batcher: BucketedBatcher):
         stacked = self._place_batch(batcher.next_epoch())
         t0 = time.time()
         self.state, aux = self._train_epoch_fn(self.state, stacked)
         aux = self._gather_aux(aux)
-        elapsed = time.time() - t0
-        y, size = labels_for_batch(stacked, self.settings)
-        steps = aux["pred"].shape[0]
-        metrics = size_stratified_metrics(np.tile(y, steps),
-                                          aux["pred"].reshape(-1),
-                                          np.tile(size, steps))
-        n = aux["pred"].size
-        rows = max(int(aux["fallback_rows"].sum()), 1)
-        return {"bce": float(aux["bce"].mean()),
-                "recon": float(aux["recon"].mean()),
-                "metrics": metrics, "elapsed": elapsed,
-                "hyperedges_per_sec": n / elapsed,
-                # sampler telemetry: fraction of negatives that exhausted all
-                # trials and fell back to a Bloom-hit candidate (mislabeled
-                # likely-positive) or the positive itself
-                "fallback_bloom_rate": float(aux["fallback_bloom"].sum()) / rows,
-                "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
+        return self._epoch_result(aux, stacked, elapsed=time.time() - t0)
 
     def eval_epoch(self, test_buckets, batch_size: int = 96,
                    max_samples: int = 10_000, seed: int = 0):
@@ -593,14 +584,25 @@ class Trainer:
             return {"bce": float("nan"), "recon": float("nan"),
                     "metrics": {}}
         per_k = max(1, max_samples // max(len(test_buckets), 1))
+        nd = int(self.mesh.shape["data"]) if self.mesh is not None else 1
         plan = {}
         n_batches = None
         for k, (e, w) in sorted(test_buckets.items()):
             take = min(len(e), per_k)
             bs = min(batch_size, take)        # small buckets shrink the batch
+            # under a data mesh the batch axis must split evenly over the
+            # chips; a bucket smaller than the data axis cannot be sharded
+            # at all — skip it like the empty case
+            bs = (bs // nd) * nd
+            if bs == 0:
+                continue
             nb = take // bs
             n_batches = nb if n_batches is None else min(n_batches, nb)
             plan[k] = bs
+        test_buckets = {k: v for k, v in test_buckets.items() if k in plan}
+        if not test_buckets:
+            return {"bce": float("nan"), "recon": float("nan"),
+                    "metrics": {}}
         stacked = {}
         for k, (e, w) in sorted(test_buckets.items()):
             bs = plan[k]
@@ -610,13 +612,7 @@ class Trainer:
         stacked = self._place_batch(stacked)
         self.state, aux = self._eval_epoch_fn(self.state, stacked)
         aux = self._gather_aux(aux)
-        y, size = labels_for_batch(stacked, self.settings)
-        steps = aux["pred"].shape[0]
-        metrics = size_stratified_metrics(np.tile(y, steps),
-                                          aux["pred"].reshape(-1),
-                                          np.tile(size, steps))
-        return {"bce": float(aux["bce"].mean()),
-                "recon": float(aux["recon"].mean()), "metrics": metrics}
+        return self._epoch_result(aux, stacked)
 
     # -------------------------------------------------------------- stage
     def fit(self, train_buckets, test_buckets, *, epochs: int,
@@ -636,6 +632,13 @@ class Trainer:
             (a directory); each host writes its own shards, the save
             overlaps the next epoch — the multi-controller path
         """
+        empty_ks = [k for k, v in train_buckets.items() if len(v[0]) == 0]
+        if empty_ks:
+            # a tiny bucket can land every row in the test split; train on
+            # the rest (eval_epoch skips its empty buckets symmetrically)
+            log(f"dropping empty train buckets: k={empty_ks}")
+            train_buckets = {k: v for k, v in train_buckets.items()
+                             if len(v[0]) > 0}
         batcher = BucketedBatcher(train_buckets, batch_size,
                                   num_batch_per_iter, seed=seed)
         max_k = max(train_buckets.keys())
@@ -675,6 +678,12 @@ class Trainer:
                 metrics_logger.log_epoch(stage, epoch, tr, ev)
             fallback_m = ev["metrics"].get("all", {"auprc": 0.0})
             val_aupr = ev["metrics"].get(max_k, fallback_m)["auprc"]
+            if np.isnan(val_aupr):
+                # regress mode: AUROC/AUPRC are undefined (labels all 1);
+                # NaN >= best is never true, so no checkpoint would ever be
+                # written — select on validation loss instead
+                val_aupr = -float(ev["bce"])
+                best = min(best, 0.0) if best == 0.0 else best
             if checkpoint_path and val_aupr >= best:
                 best = val_aupr
                 if ckpt_mgr is not None:
@@ -783,7 +792,14 @@ def load_model_bundle(path: str):
     genome = GenomeBins(meta["chrom_names"], meta["chrom_sizes"],
                         meta["resolution"])
     dims = ModelDims(**meta["dims"])
-    intra = np.load(os.path.join(path, "intra_adj.npy"))
-    inter = np.load(os.path.join(path, "inter_adj.npy"))
+    # save_model_bundle treats the adjacency matrices as optional (the
+    # "table" embedding mode needs no frozen feature tables) — mirror that
+    ip = os.path.join(path, "intra_adj.npy")
+    jp = os.path.join(path, "inter_adj.npy")
+    n = genome.num_nodes
+    intra = np.load(ip) if os.path.exists(ip) else np.zeros((n, n),
+                                                            np.float32)
+    inter = np.load(jp) if os.path.exists(jp) else np.zeros((n, n),
+                                                            np.float32)
     frozen = build_frozen_tables(genome, intra, inter)
     return params, dims, genome, frozen

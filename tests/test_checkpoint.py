@@ -104,3 +104,23 @@ def test_fit_orbax_best_reload(tmp_path):
                     jax.tree_util.tree_leaves(trainer.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_model_bundle_without_adjacency(tmp_path):
+    """save_model_bundle treats the adjacency matrices as optional (the
+    'table' embedding mode needs no frozen feature tables); load must not
+    require them."""
+    import jax
+    from matcha_tpu.genome import GenomeBins
+    from matcha_tpu.models.hypersagnn import ModelDims, init_model
+    from matcha_tpu.train.runtime import load_model_bundle, save_model_bundle
+
+    genome = GenomeBins(["chr1", "chr2"], [5_000_000, 3_000_000], 1_000_000)
+    dims = ModelDims(dim=8, n_head=2, num_chroms=2,
+                     num_nodes=genome.num_nodes)
+    chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
+    params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
+    save_model_bundle(str(tmp_path / "b"), params, dims, genome)
+    p2, d2, g2, frozen = load_model_bundle(str(tmp_path / "b"))
+    assert d2.dim == 8 and g2.num_nodes == genome.num_nodes
+    assert frozen.inter_z.shape[0] == genome.num_nodes + 1

@@ -225,3 +225,32 @@ def test_chrom_bounds_fast_path_matches_gather(table, rng):
 
     assert (np.asarray(neg_gather) == np.asarray(neg_fast)).all()
     assert (np.asarray(neg_gather) == np.asarray(neg_eager)).all()
+
+
+def test_range_draw_never_reaches_hi():
+    """Range-draw invariant: lo + min(floor(span*u), span-1) < hi for every
+    f32 u < 1.  (A sweep shows f32 rounding never actually pushes
+    floor(span*u) to span for u < 1, so the clamp in the sampler is
+    defensive insurance — this pins the invariant either way.)"""
+    u_max = np.nextafter(np.float32(1.0), np.float32(0.0))
+    for span in np.asarray([2, 3, 5, 4096, 4097, 30011, 1 << 20],
+                           np.float32):
+        raw = np.floor(span * u_max)
+        clamped = np.minimum(raw, span - np.float32(1.0))
+        assert clamped < span
+
+
+def test_negatives_stay_in_table(table):
+    """Negatives never index past the node table (statistical smoke over
+    many draws with the clamped range arithmetic)."""
+    import jax
+    g, tbl = table
+    rng = np.random.default_rng(5)
+    pos = _random_positives(g, rng, 256, 2)
+    bloom = build_bloom_dict({2: pos})[2]
+    for seed in range(4):
+        neg = np.asarray(sample_negatives(
+            jax.random.PRNGKey(seed), jnp.asarray(pos), tbl, 0, bloom,
+            neg_num=3))
+        assert neg.max() < g.node_num
+        assert neg.min() >= 1
