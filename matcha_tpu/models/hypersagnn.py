@@ -69,6 +69,20 @@ class FrozenTables(NamedTuple):
     chrom_bounds: jnp.ndarray           # (C, 2) node-id [start, end)
 
 
+_FUSE_TAIL: Optional[bool] = None
+
+
+def _fuse_tail_enabled() -> bool:
+    """MATCHA_FUSE_TAIL, read ONCE per process: the gate is consulted at
+    trace time, so a mid-run env flip would otherwise mix fused and XLA
+    tails (with different dropout placement) across retraces."""
+    global _FUSE_TAIL
+    if _FUSE_TAIL is None:
+        import os
+        _FUSE_TAIL = os.environ.get("MATCHA_FUSE_TAIL", "0") == "1"
+    return _FUSE_TAIL
+
+
 # --------------------------------------------------------------------- init
 def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int],
                embedding_mode: str = "corrcoef-ae",
@@ -282,10 +296,13 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
         flat_ids = x_flat.reshape(-1)
         if mesh is not None and T % int(mesh.shape["data"]) == 0:
             cnt = bincount_sharded(flat_ids, R, mesh)
-        elif mesh is not None:
+        elif mesh is not None and T * R <= (1 << 31):
             cnt = jnp.sum(
                 flat_ids[:, None] == jnp.arange(R)[None, :],
                 axis=0, dtype=jnp.float32)
+        elif mesh is not None:
+            # 100 kb-scale T x R would be multi-GB: bounded-memory scatter
+            cnt = jnp.zeros((R,), jnp.float32).at[flat_ids].add(1.0)
         else:
             cnt = bincount_f32(flat_ids, R)
     elif T * R <= (1 << 31):
@@ -466,6 +483,9 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     shapes = [(int(xs[k].shape[0]), int(k)) for k in ks]
     tok_sizes = [n_k * k for (n_k, k) in shapes]
     flat = shard_concat([xs[k].reshape(-1) for k in ks], n_shards)   # (T,)
+    from matcha_tpu.parallel.mesh import active_data_mesh
+    mesh = active_data_mesh()      # pure-DP mesh for Pallas shard_map wraps
+    T_tok = int(flat.shape[0])
 
     if dims.use_pallas_attention and jax.default_backend() != "cpu":
         # MXU one-hot-matmul VJP: the XLA scatter-add grad of this gather is
@@ -476,10 +496,7 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
         # partials psum in the transpose.
         from matcha_tpu.ops.table_scatter import (table_gather,
                                                   table_gather_sharded)
-        from matcha_tpu.parallel.mesh import active_data_mesh
-        mesh = active_data_mesh()
-        T_flat = int(flat.shape[0])
-        if mesh is not None and T_flat % int(mesh.shape["data"]) == 0:
+        if mesh is not None and T_tok % int(mesh.shape["data"]) == 0:
             emb = table_gather_sharded(node_table, flat, mesh)
         elif mesh is not None:
             emb = node_table[flat]
@@ -502,15 +519,12 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     # Opt-in (MATCHA_FUSE_TAIL=1) until TPU-validated; CPU eval-mode only
     # (interpret mode has no PRNG); under a pure-DP mesh the kernel is
     # shard_mapped over "data" like the other Pallas call sites.
-    import os as _os
     from matcha_tpu.ops.fused_tail import BT as _FT_BT
-    from matcha_tpu.parallel.mesh import active_data_mesh as _adm
-    T_tok = int(flat.shape[0])
-    mesh_ft = _adm()
+    mesh_ft = mesh
     ft_quantum = _FT_BT * (int(mesh_ft.shape["data"])
                            if mesh_ft is not None else 1)
     use_fused_tail = (
-        _os.environ.get("MATCHA_FUSE_TAIL", "0") == "1"
+        _fuse_tail_enabled()
         and dims.diag_mask and dims.use_pallas_attention
         and T_tok % ft_quantum == 0
         and (jax.default_backend() != "cpu"

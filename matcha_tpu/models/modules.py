@@ -161,17 +161,12 @@ def mha_fused(p: Params, x, n_head: int, diag_mask: bool,
             p["fc1"]["w"], p["fc1"]["b"])
     if mesh is None:
         return hyperedge_attention(x, *args, n_head, diag_mask, use_pallas)
-    from jax.sharding import PartitionSpec as P
+    from matcha_tpu.parallel.mesh import data_shard_map
 
-    from matcha_tpu.parallel.mesh import to_varying
-
-    def inner(xx, *ws):
-        ws = tuple(to_varying(w) for w in ws)
+    def call(xx, *ws):
         return hyperedge_attention(xx, *ws, n_head, diag_mask, use_pallas)
 
-    return jax.shard_map(inner, mesh=mesh,
-                         in_specs=(P("data"),) + (P(),) * 6,
-                         out_specs=P("data"))(x, *args)
+    return data_shard_map(call, mesh, 1, 6)(x, *args)
 
 
 def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,

@@ -293,9 +293,9 @@ def fused_tail_sharded(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1,
     P() (replicated) in_specs, so the shard_map transpose psums their
     per-shard gradient partials; each shard offsets the PRNG seed by its
     data index so dropout masks differ across shards."""
-    from jax.sharding import PartitionSpec as P
+    from matcha_tpu.parallel.mesh import data_shard_map
 
-    def inner(yy, hh, *rest):
+    def call(yy, hh, *rest):
         *ws, sd = rest
         shard = jax.lax.axis_index("data").astype(jnp.int32)
         return fused_tail(yy, hh, *ws, sd + shard * jnp.int32(1 << 20),
@@ -305,7 +305,5 @@ def fused_tail_sharded(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1,
     # divisors etc.) whose empty vma set trips the checker; with the check
     # off, the shard_map transpose still psums the cotangents of the
     # P()-replicated weight inputs (pinned by the sharded-grads test)
-    return jax.shard_map(
-        inner, mesh=mesh, check_vma=False,
-        in_specs=(P("data"), P("data")) + (P(),) * 8,
-        out_specs=P("data"))(y, h, ln6, w1, b1, w2, b2, wc, bc, seed)
+    return data_shard_map(call, mesh, 2, 8, check_vma=False)(
+        y, h, ln6, w1, b1, w2, b2, wc, bc, seed)

@@ -140,15 +140,9 @@ def table_gather_sharded(table: jnp.ndarray, idx: jnp.ndarray,
     """table_gather shard_mapped over the mesh's "data" axis (Pallas custom
     calls have no GSPMD rule).  The replicated table is pcast-to-varying so
     its gradient partials psum in the shard_map transpose."""
-    from jax.sharding import PartitionSpec as P
-
-    from matcha_tpu.parallel.mesh import to_varying
-
-    def inner(tt, ii):
-        return table_gather(to_varying(tt), ii)
-
-    return jax.shard_map(inner, mesh=mesh, in_specs=(P(), P("data")),
-                         out_specs=P("data"))(table, idx)
+    from matcha_tpu.parallel.mesh import data_shard_map
+    return data_shard_map(lambda ii, tt: table_gather(tt, ii),
+                          mesh, 1, 1)(idx, table)
 
 
 def bincount_sharded(idx: jnp.ndarray, n_rows: int, mesh) -> jnp.ndarray:

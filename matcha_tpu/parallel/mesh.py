@@ -180,3 +180,25 @@ def to_varying(x, axis: str = "data"):
         return jax.lax.pcast(x, axis, to="varying")
     except (AttributeError, TypeError):
         return jax.lax.pvary(x, (axis,))
+
+
+def data_shard_map(fn, mesh: Mesh, n_sharded: int, n_replicated: int,
+                   check_vma: bool = True):
+    """shard_map ``fn`` over the mesh "data" axis: the first ``n_sharded``
+    arguments are P("data")-sharded, the remaining ``n_replicated`` are P()
+    (replicated) and — under check_vma — pcast-to-varying so the shard_map
+    transpose psums their per-shard gradient partials.  The shared wrapper
+    for every Pallas call site (custom calls have no GSPMD rule)."""
+    from jax.sharding import PartitionSpec as P
+
+    def inner(*args):
+        sharded = args[:n_sharded]
+        reps = args[n_sharded:]
+        if check_vma:
+            reps = tuple(to_varying(r) for r in reps)
+        return fn(*sharded, *reps)
+
+    return jax.shard_map(
+        inner, mesh=mesh, check_vma=check_vma,
+        in_specs=(P("data"),) * n_sharded + (P(),) * n_replicated,
+        out_specs=P("data"))

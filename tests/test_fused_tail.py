@@ -129,6 +129,8 @@ def test_forward_buckets_fused_gate_cpu_eval(monkeypatch, rng):
     buckets[2] = jnp.asarray(np.asarray(rows, np.int32))
 
     ref = forward_buckets(params, frozen, dims, buckets, train=False)
+    import matcha_tpu.models.hypersagnn as hs
+    monkeypatch.setattr(hs, "_FUSE_TAIL", None)   # env is read once, cached
     monkeypatch.setenv("MATCHA_FUSE_TAIL", "1")
     got = forward_buckets(params, frozen, dims, buckets, train=False)
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
@@ -215,6 +217,8 @@ def test_forward_buckets_fused_gate_padmax_cpu_eval(monkeypatch, rng):
 
     ref = forward_buckets(params, frozen, dims, buckets, train=False,
                           attention_mode="pad-max")
+    import matcha_tpu.models.hypersagnn as hs
+    monkeypatch.setattr(hs, "_FUSE_TAIL", None)   # env is read once, cached
     monkeypatch.setenv("MATCHA_FUSE_TAIL", "1")
     got = forward_buckets(params, frozen, dims, buckets, train=False,
                           attention_mode="pad-max")
@@ -243,6 +247,8 @@ def test_forward_buckets_fused_gate_mesh_cpu_eval(monkeypatch, rng):
 
     ref = forward_buckets(params, frozen, dims, buckets, train=False)
     mesh = make_mesh(n_data=8, n_model=1)
+    import matcha_tpu.models.hypersagnn as hs
+    monkeypatch.setattr(hs, "_FUSE_TAIL", None)   # env is read once, cached
     monkeypatch.setenv("MATCHA_FUSE_TAIL", "1")
     with using_active_mesh(mesh):
         got = forward_buckets(params, frozen, dims, buckets, train=False)
