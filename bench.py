@@ -48,7 +48,6 @@ def main():
     from matcha_tpu.utils import warm_loop_runtime
     warm_loop_runtime()   # overlap the backend's one-time loop-runtime init
     from __graft_entry__ import _build_problem, _random_buckets
-    from matcha_tpu.data.batcher import BucketedBatcher
     from matcha_tpu.sampler.bloom import build_bloom_dict
     from matcha_tpu.sampler.negative import ChromTable
     from matcha_tpu.train.runtime import Trainer, TrainSettings
@@ -83,10 +82,9 @@ def main():
     # hyperedges scored per step: per k bucket, BATCH pos + 3*BATCH neg
     per_step = len(K_LIST) * BATCH * 4
 
-    import jax as _jax
     # chunk 0 pays compile + the backend's one-time loop-runtime init
     t0 = time.time()
-    _jax.device_get(trainer.train_epoch_device_launch()["bce"])
+    jax.device_get(trainer.train_epoch_device_launch()["bce"])
     print(f"# chunk 0: warmup (compile + backend init) "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -98,7 +96,7 @@ def main():
     for chunk in range(1, CHUNKS):
         nxt = (trainer.train_epoch_device_launch()
                if chunk < CHUNKS - 1 else None)
-        _jax.device_get(pending["pred"])       # completes when its epoch does
+        jax.device_get(pending["pred"])       # completes when its epoch does
         now = time.time()
         rate = per_step * STEPS_PER_CHUNK / (now - t_prev)
         rates.append(rate)

@@ -46,7 +46,6 @@ class Config:
     seed: int = 0
 
     # --- TPU-framework knobs (no reference equivalent) ---
-    param_dtype: str = "float32"       # parameter dtype
     table_dtype: str = "float32"       # frozen feature/target table dtype ("bfloat16" to halve HBM)
     compute_dtype: str = "float32"     # activation/matmul dtype ("bfloat16" = mixed precision)
     use_pallas_attention: str = "auto" # "auto" (TPU only) | "on" | "off"

@@ -76,7 +76,7 @@ def count_kmers(flat: np.ndarray, offsets: np.ndarray, k: int,
     Returns: (kmers (N, k) int32 lexsorted, freqs (N,) int64)
     """
     from matcha_tpu.native import kmer_native
-    if kmer_native.available():
+    if kmer_native.available() and kmer_native.supported(k, flat):
         return kmer_native.count_kmers(flat, offsets, k, max_cluster_size,
                                        min_distance)
     return _count_kmers_numpy(flat, offsets, k, max_cluster_size, min_distance,

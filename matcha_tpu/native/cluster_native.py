@@ -102,6 +102,9 @@ def parse_clusters(path: str, genome, max_cluster_size: int,
         first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         int(genome.resolution), int(max_cluster_size), int(n_threads),
         ctypes.byref(handle))
+    if rc == -4:
+        raise ValueError(f"malformed coordinate in {path} (matches the "
+                         "Python parser's int() ValueError)")
     if rc != 0:
         raise OSError(f"native cluster parse failed: rc={rc} path={path}")
     try:

@@ -22,6 +22,7 @@
 // fill caller-allocated numpy buffers -> free.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -58,10 +59,42 @@ struct Result {
   std::vector<int64_t> offsets;
 };
 
+inline bool is_space(char c) {
+  return c == ' ' || c == '\r' || c == '\v' || c == '\f';
+}
+
+// Parse a coordinate with Python int() semantics: optional surrounding
+// whitespace, optional sign, >= 1 digit, nothing else.  Returns false on
+// malformed input (the Python oracle raises ValueError there — silent
+// wrong-bin placement would be data corruption).
+inline bool parse_coord(const char* p, const char* end, int64_t* out_val) {
+  while (p < end && is_space(*p)) ++p;
+  bool neg = false;
+  if (p < end && (*p == '+' || *p == '-')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  if (p >= end || *p < '0' || *p > '9') return false;
+  int64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+  while (p < end && is_space(*p)) ++p;
+  if (p != end) return false;
+  *out_val = neg ? -v : v;
+  return true;
+}
+
+// floor division (Python // semantics; coords can legally be parsed
+// negative even if biologically nonsensical — match the oracle exactly)
+inline int64_t floordiv(int64_t a, int64_t b) {
+  int64_t q = a / b, r = a % b;
+  return (r != 0 && ((r < 0) != (b < 0))) ? q - 1 : q;
+}
+
 // parse [begin, end): every line fully contained (caller aligns bounds)
 void parse_range(const char* begin, const char* end, const ChromTable& ct,
                  const int64_t* first_node, int64_t resolution,
-                 int32_t max_cluster_size, Piece* out) {
+                 int32_t max_cluster_size, Piece* out,
+                 std::atomic<int>* error) {
   const int64_t raw_cap = int64_t(max_cluster_size) * 50;
   std::vector<int32_t> nodes;
   nodes.reserve(raw_cap);
@@ -88,12 +121,13 @@ void parse_range(const char* begin, const char* end, const ChromTable& ct,
         if (colon) {
           int32_t ci = ct.find(f, size_t(colon - f));
           if (ci >= 0) {
-            int64_t coord = 0;
-            for (const char* d = colon + 1;
-                 d < field_end && *d >= '0' && *d <= '9'; ++d)
-              coord = coord * 10 + (*d - '0');
+            int64_t coord;
+            if (!parse_coord(colon + 1, field_end, &coord)) {
+              error->store(1, std::memory_order_relaxed);
+              return;
+            }
             nodes.push_back(
-                int32_t(first_node[ci] + coord / resolution));
+                int32_t(first_node[ci] + floordiv(coord, resolution)));
           }
         }
         f = fe;
@@ -151,6 +185,7 @@ int32_t matcha_parse_clusters(const char* path, const char* chrom_blob,
     if (size < (1u << 20)) T = 1;  // small files: no thread overhead
     const size_t nT = size_t(T);
     std::vector<Piece> pieces{nT};
+    std::atomic<int> error{0};
     std::vector<std::thread> threads;
     std::vector<const char*> starts(size_t(T) + 1);
     starts[0] = data;
@@ -164,10 +199,16 @@ int32_t matcha_parse_clusters(const char* path, const char* chrom_blob,
     for (int32_t t = 0; t < T; ++t) {
       threads.emplace_back(parse_range, starts[size_t(t)],
                            starts[size_t(t) + 1], std::cref(ct), first_node,
-                           resolution, max_cluster_size, &pieces[size_t(t)]);
+                           resolution, max_cluster_size, &pieces[size_t(t)],
+                           &error);
     }
     for (auto& th : threads) th.join();
     ::munmap(const_cast<char*>(data), size);
+    if (error.load()) {
+      ::close(fd);
+      delete res;
+      return -4;  // malformed coordinate (Python oracle raises ValueError)
+    }
 
     size_t total_flat = 0, total_clusters = 0;
     for (const auto& pc : pieces) {

@@ -81,6 +81,18 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+MAX_K = 5                 # kmer_count.cpp kMaxK
+MAX_NODE_ID = (1 << 25)   # pack() gives each member 25 bits of the key
+
+
+def supported(k: int, flat) -> bool:
+    """True if the native kernel can handle this (k, node-id range) —
+    beyond these the packed 128-bit keys would corrupt silently (ids) or
+    the kernel rejects (k); callers fall back to the numpy path."""
+    import numpy as _np
+    return k <= MAX_K and (len(flat) == 0 or int(_np.max(flat)) < MAX_NODE_ID)
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -99,6 +111,9 @@ def count_kmers(flat: np.ndarray, offsets: np.ndarray, k: int,
         ctypes.c_int64(len(offsets) - 1),
         ctypes.c_int32(k), ctypes.c_int32(max_cluster_size),
         ctypes.c_int32(min_distance), ctypes.byref(handle))
+    if n < 0:
+        raise ValueError(f"native kmer kernel rejected k={k} (rc={n}); "
+                         "callers should gate on supported(k, flat)")
     kmers = np.empty((n, k), dtype=np.int32)
     freqs = np.empty((n,), dtype=np.int64)
     lib.matcha_kmer_result_fill(
@@ -106,6 +121,8 @@ def count_kmers(flat: np.ndarray, offsets: np.ndarray, k: int,
         kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     lib.matcha_kmer_result_free(handle)
-    # canonical lexsorted order (matches the numpy path)
-    order = np.lexsort(kmers.T[::-1]) if n else np.zeros((0,), np.int64)
-    return kmers[order], freqs[order]
+    # already in canonical lexsorted order: the kernel's 128-bit packed keys
+    # place v[0] in the most-significant bits and the merged runs are sorted
+    # by key, which IS column-0-major lexicographic order (pinned by
+    # test_native_kernel_matches_numpy's exact array equality)
+    return kmers, freqs

@@ -52,6 +52,10 @@ def run_generate_kmers(config: Config, *, shard_index: Optional[int] = None,
     only that shard's clusters and writes partial counters — run one shard
     per host (embarrassingly parallel), then ``run_merge_kmers``."""
     flat, offsets = load_edge_list(config.temp_dir)
+    if shard_index is not None and shard_count is None:
+        raise ValueError("--shard-index requires --shard-count (otherwise "
+                         "every host would run the FULL unsharded pass and "
+                         "race on the final artifacts)")
     if shard_count is not None:
         from matcha_tpu.data.kmers import generate_kmers_shard
         return generate_kmers_shard(
@@ -102,8 +106,17 @@ def run_train(config: Config, *, log=print,
                      use_pallas_attention=use_pallas)
     chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
     params = init_model(jax.random.PRNGKey(config.seed), dims, chrom_sizes)
-    frozen = build_frozen_tables(genome, intra, inter)
+    import jax.numpy as jnp
+    table_dt = (jnp.bfloat16 if config.table_dtype == "bfloat16"
+                else jnp.float32)
+    frozen = build_frozen_tables(genome, intra, inter, table_dtype=table_dt)
     chrom_table = ChromTable.from_genome(genome)
+    mesh = None
+    n_mesh = int(config.mesh_data) * int(config.mesh_model)
+    if n_mesh > 1:
+        from matcha_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(int(config.mesh_data), int(config.mesh_model),
+                         devices=jax.devices()[:n_mesh])
     ckpt = os.path.join(temp_dir, "model.chkpt")
     from matcha_tpu.train.logging import MetricsLogger
     mlog = MetricsLogger(os.path.join(temp_dir, "logs"), stdout=log)
@@ -116,7 +129,7 @@ def run_train(config: Config, *, log=print,
                        learning_rate=config.learning_rate,
                        weight_decay=config.weight_decay)
     trainer = Trainer(params, frozen, dims, chrom_table, s1, blooms=None,
-                      seed=config.seed)
+                      seed=config.seed, mesh=mesh)
     trainer.fit(store.train, store.test,
                 epochs=stage1_epochs if stage1_epochs is not None
                 else config.stage1_epochs,
@@ -134,7 +147,7 @@ def run_train(config: Config, *, log=print,
     # ---- stage 2: classification (fresh AdamW, ref :671-679)
     s2 = s1._replace(alpha=config.stage2_alpha, beta=config.stage2_beta)
     trainer2 = Trainer(trainer.state.params, frozen, dims, chrom_table, s2,
-                       blooms=blooms, seed=config.seed + 1)
+                       blooms=blooms, seed=config.seed + 1, mesh=mesh)
     history = trainer2.fit(
         store.train, store.test,
         epochs=stage2_epochs if stage2_epochs is not None

@@ -265,3 +265,31 @@ def test_native_cluster_parser_matches_python(tiny_genome, rng, tmp_path):
     # threads=1 and threads=8 agree (order preservation across chunks)
     nf1, no1 = cluster_native.parse_clusters(str(path), g, 25, n_threads=8)
     assert (no == no1).all() and (nf == nf1).all()
+
+
+def test_native_cluster_parser_rejects_malformed_coord(tiny_genome, tmp_path):
+    """Malformed coordinates on a KNOWN chromosome must raise loudly (the
+    Python oracle's int() ValueError) — not silently land in a wrong bin."""
+    from matcha_tpu.native import cluster_native
+    if not cluster_native.available():
+        pytest.skip("native cluster parser unavailable")
+    good = tmp_path / "good.clusters"
+    # int()-tolerant forms: surrounding spaces, plus sign
+    good.write_text("a\tchr1: 5000000 \tchr2:+3000000\n")
+    gf, go = cluster_native.parse_clusters(str(good), tiny_genome, 25)
+    from matcha_tpu.data.clusters import _parse_lines
+    with open(good) as f:
+        pf, po = _parse_lines(f, tiny_genome, 25)
+    assert (gf == pf).all() and (go == po).all()
+
+    bad = tmp_path / "bad.clusters"
+    bad.write_text("a\tchr1:1,234\tchr2:5\n")
+    with pytest.raises(ValueError):
+        cluster_native.parse_clusters(str(bad), tiny_genome, 25)
+    # unknown chrom with garbage coord is still skipped, like the oracle
+    ok = tmp_path / "ok.clusters"
+    ok.write_text("a\tchrUn:garbage\tchr1:0\tchr2:1000000\n")
+    nf, no = cluster_native.parse_clusters(str(ok), tiny_genome, 25)
+    with open(ok) as f:
+        pf, po = _parse_lines(f, tiny_genome, 25)
+    assert (nf == pf).all() and (no == po).all()

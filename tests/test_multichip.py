@@ -137,3 +137,37 @@ def test_eval_sharded(problem):
     t = Trainer(params, frozen, dims, table, settings, None, mesh=mesh)
     ev = t.eval_epoch(buckets(9), batch_size=16, max_samples=128)
     assert np.isfinite(ev["bce"])
+
+
+@pytest.mark.slow
+def test_run_train_config_mesh_and_table_dtype(tmp_path):
+    """The config knobs mesh_data/mesh_model/table_dtype actually reach the
+    Trainer: a 2x1 mesh + bf16 tables trains end-to-end through run_train."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth import make_synthetic_dataset, write_chrom_sizes
+    from matcha_tpu.config import Config
+    from matcha_tpu.pipeline import (run_generate_kmers, run_process,
+                                     run_train)
+
+    rng = np.random.default_rng(0)
+    genome = GenomeBins(["chr1", "chr2"], [30_000_000, 20_000_000], 1_000_000)
+    cl, mc = make_synthetic_dataset(tmp_path, genome, rng, n_clusters=2500)
+    config = Config(
+        cluster_path=cl, mcool_path=mc, resolution=1_000_000,
+        chrom_list=genome.chrom_names,
+        chrom_size=write_chrom_sizes(tmp_path, genome),
+        temp_dir=str(tmp_path / "Temp"), max_cluster_size=25,
+        min_distance=0, kmer_size=[2], min_freq_cutoff=2,
+        quantile_cutoff_for_positive=0.6, quantile_cutoff_for_unlabel=0.4,
+        embed_dim=16, n_head=4, batch_size=32, num_batch_per_iter=8,
+        seed=1, mesh_data=2, mesh_model=1, table_dtype="bfloat16")
+    run_process(config)
+    run_generate_kmers(config)
+    trainer, history, store = run_train(config, log=lambda *_: None,
+                                        stage1_epochs=1, stage2_epochs=1)
+    assert trainer.mesh is not None
+    assert dict(trainer.mesh.shape) == {"data": 2, "model": 1}
+    assert trainer.frozen.inter_z.dtype == jnp.bfloat16
+    assert np.isfinite(history[-1]["valid"]["bce"])
