@@ -146,6 +146,13 @@ def run_denoise(bundle_path: str, *, min_distance: int = 0,
     with h5py.File(output_mcool, "w") as f:
         grp = _write_mcool_skeleton(f, genome)
         for c in range(genome.num_chroms):
+            s_, e_ = genome.chrom_range[c]
+            if int(e_ - s_) <= min_distance:
+                # a chromosome shorter than the gap has no pairs at all
+                # (e.g. chrM at coarse resolution) — skip, don't crash
+                log(f"skipping {genome.chrom_names[c]}: fewer bins than "
+                    f"min_distance={min_distance}")
+                continue
             pairs, my, origin, _, values = denoise_chromosome(
                 params, frozen, dims, genome, intra_adj, c, min_distance,
                 batch_size)

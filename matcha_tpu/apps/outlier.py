@@ -56,8 +56,10 @@ def generate_outliers(edges: np.ndarray, known_pairs: Set[Tuple[int, int]],
             if count >= per_edge:
                 break
             j = int(rng.integers(1, num_nodes + 1))
+            # check against the REMAINING members only: the replaced one
+            # leaves the edge, so a pair with it alone is irrelevant
             if any((j, n) in known_pairs or (n, j) in known_pairs
-                   for n in e):
+                   for idx, n in enumerate(e) if idx != point):
                 continue
             temp = np.copy(e)
             temp[point] = j

@@ -23,12 +23,13 @@ def build_subcompartment_labels(bed_path: str, genome: GenomeBins,
     """Majority-vote per-bin subcompartment labels from a bed file
     (ref build_subcompartment_label :178-226): bed intervals at fine_res are
     binned into the coarse grid; a coarse bin takes the majority fine label
-    when >= 6 of its 10 fine bins agree, else -1.  Returns (N,) labels for
-    nodes 1..N."""
+    when >= 60% of its fine bins agree (the reference's hard-coded ">= 6 of
+    10" is 1 Mb-specific; this scales to any resolution), else -1.
+    Returns (N,) labels for nodes 1..N."""
     import pandas as pd
     tab = pd.read_table(bed_path, sep="\t", header=None).iloc[:, :4]
     tab.columns = ["chrom", "start", "end", "label"]
-    per_fine = genome.resolution // fine_res
+    per_fine = max(genome.resolution // fine_res, 1)
     label_list = -np.ones((genome.node_num, per_fine))
     for row in tab.itertuples(index=False):
         label = STATE_DICT.get(row.label, -1)
@@ -43,10 +44,11 @@ def build_subcompartment_labels(bed_path: str, genome: GenomeBins,
                 node = s + coord // genome.resolution
                 if node < e:
                     label_list[node, j % per_fine] = label
+    majority = max(int(math.ceil(0.6 * per_fine)), 1)   # ref: 6 of 10
     final = np.full(genome.node_num, -1.0)
     for i, vec in enumerate(label_list):
         unique, count = np.unique(vec, return_counts=True)
-        if count.max() >= 6:
+        if count.max() >= majority:
             final[i] = unique[count.argmax()]
     return final[1:]
 

@@ -21,6 +21,14 @@ from matcha_tpu.models.hypersagnn import (ModelDims, encode_node_table,
                                           forward)
 
 
+@partial(jax.jit, static_argnames=("dims",))
+def _score(params, frozen, dims, node_table, x):
+    # module-level jit: callers invoking predict_logits repeatedly (e.g.
+    # run_denoise, once per chromosome) hit the compile cache on repeated
+    # shapes instead of retracing a fresh closure every call
+    return forward(params, frozen, dims, x, node_table=node_table)
+
+
 def predict_logits(params, frozen, dims: ModelDims,
                    samples: Sequence[Sequence[int]],
                    batch_size: int = 10_000) -> np.ndarray:
@@ -31,9 +39,8 @@ def predict_logits(params, frozen, dims: ModelDims,
     out = np.zeros(n, dtype=np.float32)
     node_table = encode_node_table(params, frozen, dims, train=False)
 
-    @partial(jax.jit, static_argnames=())
     def score(x):
-        return forward(params, frozen, dims, x, node_table=node_table)
+        return _score(params, frozen, dims, node_table, x)
 
     by_size: Dict[int, List[int]] = {}
     for i, s in enumerate(samples):

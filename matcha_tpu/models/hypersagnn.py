@@ -270,6 +270,29 @@ def recon_loss_fn(params: Dict, frozen: FrozenTables, dims: ModelDims,
     return recon_loss_node(params, frozen, dims, x_flat, node_table, r)
 
 
+def _padded_recon_parts(params, frozen, r):
+    """Shared padded-decoder machinery for the recon losses: every
+    chromosome's decoder padded to the max feature width, chromosome r's
+    weights/columns selected by dynamic index/gather (a 23-branch
+    lax.switch here bloats both compile time and the executable).
+    Returns (w_r (d, F), b_r (F,), cols (F,), col_ok (F,), width_r)."""
+    widths = [f.shape[1] for f in frozen.features]
+    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    f_max = int(max(widths))
+    w_stack = jnp.stack([
+        jnp.pad(p_c["w"], ((0, 0), (0, f_max - p_c["w"].shape[1])))
+        for p_c in params["embed"]["recon"]])                 # (C, d, F)
+    b_stack = jnp.stack([
+        jnp.pad(p_c["b"], (0, f_max - p_c["b"].shape[0]))
+        for p_c in params["embed"]["recon"]])                 # (C, F)
+    width_arr = jnp.asarray(widths)
+    start_arr = jnp.asarray(col_start)
+    cols = start_arr[r] + jnp.arange(f_max)                   # (F,)
+    col_ok = jnp.arange(f_max) < width_arr[r]
+    cols = jnp.clip(cols, 0, frozen.inter_z.shape[1] - 1)
+    return w_stack[r], b_stack[r], cols, col_ok, width_arr[r]
+
+
 def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
                     x_flat: jnp.ndarray, node_table: jnp.ndarray,
                     r) -> jnp.ndarray:
@@ -317,26 +340,12 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
     node_ids = jnp.arange(R)
     w_n = cnt * ((frozen.chrom_of_node[:R] != r) & (node_ids != 0))
 
-    widths = [f.shape[1] for f in frozen.features]
-    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]])
-    f_max = int(max(widths))
-    w_stack = jnp.stack([
-        jnp.pad(p_c["w"], ((0, 0), (0, f_max - p_c["w"].shape[1])))
-        for p_c in params["embed"]["recon"]])                 # (C, d, F)
-    b_stack = jnp.stack([
-        jnp.pad(p_c["b"], (0, f_max - p_c["b"].shape[0]))
-        for p_c in params["embed"]["recon"]])                 # (C, F)
-    width_arr = jnp.asarray(widths)
-    start_arr = jnp.asarray(col_start)
-
-    cols = start_arr[r] + jnp.arange(f_max)                   # (F,)
-    col_ok = jnp.arange(f_max) < width_arr[r]
-    cols = jnp.clip(cols, 0, frozen.inter_z.shape[1] - 1)
+    w_r, b_r, cols, col_ok, width_r = _padded_recon_parts(params, frozen, r)
     target = frozen.inter_z[:R, cols].astype(jnp.float32)     # (R, F)
-    recon = (tanh(node_table[:R].astype(jnp.float32)) @ w_stack[r]
-             + b_stack[r])                                    # (R, F)
+    recon = (tanh(node_table[:R].astype(jnp.float32)) @ w_r
+             + b_r)                                           # (R, F)
     sq = jnp.where(col_ok[None, :], (target - recon) ** 2, 0.0)
-    per_node = jnp.sum(sq, axis=-1) / width_arr[r]
+    per_node = jnp.sum(sq, axis=-1) / width_r
     denom = jnp.sum(w_n)
     loss = jnp.where(denom > 0,
                      jnp.sum(per_node * w_n) / jnp.maximum(denom, 1.0), 0.0)
@@ -349,34 +358,14 @@ def recon_loss_with_chrom(params: Dict, frozen: FrozenTables, dims: ModelDims,
     chrom = frozen.chrom_of_node[x_flat]
     mask = (chrom != r) & (x_flat != 0)
 
-    # column offsets of each chromosome's block in the (·, N) inter matrix —
-    # static, derived from the per-chrom feature table widths (shape[1]:
-    # rows may carry sharding pad, columns never do)
-    widths = [f.shape[1] for f in frozen.features]
-    col_start = np.concatenate([[0], np.cumsum(widths)[:-1]])
-
-    # Uniform padded path (a 23-branch lax.switch here bloats both compile
-    # time and the executable): pad every chromosome's decoder to the max
-    # width, select chromosome r's weights/columns by dynamic index/gather,
-    # mask the tail.  Identical math to the per-chromosome branch.
-    f_max = int(max(widths))
-    w_stack = jnp.stack([
-        jnp.pad(p_c["w"], ((0, 0), (0, f_max - p_c["w"].shape[1])))
-        for p_c in params["embed"]["recon"]])                 # (C, d, F)
-    b_stack = jnp.stack([
-        jnp.pad(p_c["b"], (0, f_max - p_c["b"].shape[0]))
-        for p_c in params["embed"]["recon"]])                 # (C, F)
-    width_arr = jnp.asarray(widths)
-    start_arr = jnp.asarray(col_start)
-
-    cols = start_arr[r] + jnp.arange(f_max)                   # (F,)
-    col_ok = jnp.arange(f_max) < width_arr[r]
-    cols = jnp.clip(cols, 0, frozen.inter_z.shape[1] - 1)
+    # column offsets are static, derived from the per-chrom feature
+    # table widths (shape[1]: rows may carry sharding pad, columns never do)
+    w_r, b_r, cols, col_ok, width_r = _padded_recon_parts(params, frozen, r)
     target = frozen.inter_z[:, cols][x_flat].astype(jnp.float32)  # (M, F)
-    recon = (tanh(emb_flat.astype(jnp.float32)) @ w_stack[r]
-             + b_stack[r])                                    # (M, F)
+    recon = (tanh(emb_flat.astype(jnp.float32)) @ w_r
+             + b_r)                                           # (M, F)
     sq = jnp.where(col_ok[None, :], (target - recon) ** 2, 0.0)
-    per_row = jnp.sum(sq, axis=-1) / width_arr[r]
+    per_row = jnp.sum(sq, axis=-1) / width_r
     denom = jnp.sum(mask)
     loss = jnp.where(denom > 0,
                      jnp.sum(per_row * mask) / jnp.maximum(denom, 1), 0.0)

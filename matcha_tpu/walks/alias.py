@@ -74,3 +74,46 @@ def build_alias_tables(dists: Sequence, values: Sequence) -> AliasTables:
         alias[s:e] = J
         value[s:e] = v
     return AliasTables(offsets, prob, alias, value)
+
+
+def simulate_second_order_walks(num_nodes: int, first: AliasTables,
+                                second: AliasTables, edge_keys: np.ndarray,
+                                num_walks: int, walk_length: int,
+                                rng: np.random.Generator) -> np.ndarray:
+    """Lockstep node2vec-style walk simulation, shared by the clique and
+    hypergraph walkers: step 1 draws first-order, steps 2+ draw second-order
+    via a (prev, cur) edge-key lookup with first-order fallback after a
+    dead-end repeat (prev == cur has no edge key); dead ends repeat their
+    node (ref random_walk.py:193-195).  Returns (num_nodes * num_walks,
+    walk_length) walks, shuffled (ref simulate_walks shuffles)."""
+    starts = np.repeat(np.arange(num_nodes), num_walks)
+    walks = np.zeros((len(starts), walk_length), dtype=np.int64)
+    walks[:, 0] = starts
+    has_nbr = first.size(np.arange(num_nodes)) > 0
+
+    if walk_length > 1:
+        cur = starts
+        nxt = cur.copy()
+        live = has_nbr[cur]
+        if live.any():
+            nxt[live] = first.draw(cur[live], rng)
+        walks[:, 1] = nxt
+
+    for step in range(2, walk_length):
+        prev, cur = walks[:, step - 2], walks[:, step - 1]
+        live = has_nbr[cur]
+        nxt = cur.copy()                    # dead ends repeat
+        if live.any():
+            key = prev[live] * num_nodes + cur[live]
+            tid = np.searchsorted(edge_keys, key)
+            valid = (tid < len(edge_keys)) & (edge_keys[np.minimum(
+                tid, len(edge_keys) - 1)] == key)
+            sub = np.zeros(live.sum(), dtype=np.int64)
+            if valid.any():
+                sub[valid] = second.draw(tid[valid], rng)
+            if (~valid).any():
+                sub[~valid] = first.draw(cur[live][~valid], rng)
+            nxt[live] = sub
+        walks[:, step] = nxt
+
+    return walks[rng.permutation(len(walks))]

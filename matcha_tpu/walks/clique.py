@@ -111,38 +111,6 @@ def clique_node2vec_walks(num_nodes: int, hyperedges, *, p: float = 2,
     first = _first_order_tables(adj, degree)
     second, edge_keys, _ = _second_order_tables(adj, degree, p, q)
 
-    starts = np.repeat(np.arange(num_nodes), num_walks)
-    walks = np.zeros((len(starts), walk_length), dtype=np.int64)
-    walks[:, 0] = starts
-
-    has_nbr = first.size(np.arange(num_nodes)) > 0
-    cur = starts.copy()
-    # step 1: first-order
-    nxt = np.where(has_nbr[cur], 0, cur)
-    live = has_nbr[cur]
-    if live.any():
-        nxt[live] = first.draw(cur[live], rng)
-    walks[:, 1] = nxt if walk_length > 1 else 0
-
-    for step in range(2, walk_length):
-        prev, cur = walks[:, step - 2], walks[:, step - 1]
-        live = has_nbr[cur]
-        nxt = cur.copy()                    # dead ends repeat (ref :193-195)
-        if live.any():
-            key = prev[live] * num_nodes + cur[live]
-            tid = np.searchsorted(edge_keys, key)
-            # walks can only traverse existing edges, so keys always resolve;
-            # except after a dead-end repeat (prev==cur, no such edge) —
-            # those fall back to first-order
-            valid = (tid < len(edge_keys)) & (edge_keys[np.minimum(
-                tid, len(edge_keys) - 1)] == key)
-            sub = np.zeros(live.sum(), dtype=np.int64)
-            if valid.any():
-                sub[valid] = second.draw(tid[valid], rng)
-            if (~valid).any():
-                sub[~valid] = first.draw(cur[live][~valid], rng)
-            nxt[live] = sub
-        walks[:, step] = nxt
-
-    perm = rng.permutation(len(walks))      # ref simulate_walks shuffles
-    return walks[perm]
+    from matcha_tpu.walks.alias import simulate_second_order_walks
+    return simulate_second_order_walks(num_nodes, first, second, edge_keys,
+                                       num_walks, walk_length, rng)

@@ -159,35 +159,7 @@ def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
                                 [values2[i] for i in order])
     edge_keys = keys2[order]
 
-    # lockstep simulation (same walker as clique)
-    starts = np.repeat(np.arange(num_nodes), num_walks)
-    walks = np.zeros((len(starts), walk_length), dtype=np.int64)
-    walks[:, 0] = starts
-    has_nbr = first.size(np.arange(num_nodes)) > 0
-
-    if walk_length > 1:
-        cur = starts
-        nxt = cur.copy()
-        live = has_nbr[cur]
-        if live.any():
-            nxt[live] = first.draw(cur[live], rng)
-        walks[:, 1] = nxt
-
-    for step in range(2, walk_length):
-        prev, cur = walks[:, step - 2], walks[:, step - 1]
-        live = has_nbr[cur]
-        nxt = cur.copy()
-        if live.any():
-            key = prev[live] * num_nodes + cur[live]
-            tid = np.searchsorted(edge_keys, key)
-            valid = (tid < len(edge_keys)) & (edge_keys[np.minimum(
-                tid, len(edge_keys) - 1)] == key)
-            sub = np.zeros(live.sum(), dtype=np.int64)
-            if valid.any():
-                sub[valid] = second.draw(tid[valid], rng)
-            if (~valid).any():
-                sub[~valid] = first.draw(cur[live][~valid], rng)
-            nxt[live] = sub
-        walks[:, step] = nxt
-
-    return walks[rng.permutation(len(walks))]
+    # lockstep simulation — the same walker as the clique path
+    from matcha_tpu.walks.alias import simulate_second_order_walks
+    return simulate_second_order_walks(num_nodes, first, second, edge_keys,
+                                       num_walks, walk_length, rng)

@@ -30,13 +30,14 @@ def walks_to_pairs(walks: np.ndarray, window: int,
     W, L = walks.shape
     pairs = []
     b = rng.integers(1, window + 1, size=(W, L))     # dynamic windows
-    for off in range(1, window + 1):
-        centers = walks[:, :L - off]
+    for off in range(1, min(window, L - 1) + 1):     # offsets beyond the
+        centers = walks[:, :L - off]                 # walk produce no pairs
         contexts = walks[:, off:]
-        keep = b[:, :L - off] >= off
-        pairs.append(np.stack([centers[keep], contexts[keep]], 1))
-        # symmetric direction
-        pairs.append(np.stack([contexts[keep], centers[keep]], 1))
+        # each DIRECTION is gated by its own center's dynamic window
+        keep_l = b[:, :L - off] >= off               # center at i
+        keep_r = b[:, off:] >= off                   # center at i + off
+        pairs.append(np.stack([centers[keep_l], contexts[keep_l]], 1))
+        pairs.append(np.stack([contexts[keep_r], centers[keep_r]], 1))
     out = np.concatenate(pairs, axis=0)
     return out[rng.permutation(len(out))]
 
@@ -122,12 +123,16 @@ def train_skipgram(walks: np.ndarray, vocab: int, dim: int, *,
     losses = []
     for ep in range(epochs):
         pairs = walks_to_pairs(walks, window, rng)
-        n = (len(pairs) // batch) * batch
-        if n == 0:
-            batch_eff = len(pairs)
-            pairs_b = pairs[None, :, :]
+        if len(pairs) >= batch:
+            # wrap the tail around to fill the last minibatch (truncating
+            # would silently drop up to batch-1 pairs every epoch)
+            n_b = -(-len(pairs) // batch)
+            pad = n_b * batch - len(pairs)
+            if pad:
+                pairs = np.concatenate([pairs, pairs[:pad]])
+            pairs_b = pairs.reshape(n_b, batch, 2)
         else:
-            pairs_b = pairs[:n].reshape(-1, batch, 2)
+            pairs_b = pairs[None, :, :]
         key, ke = jax.random.split(key)
         emb_in, emb_out, ls = _sgns_epoch(
             emb_in, emb_out, jnp.asarray(pairs_b), cdf, ke,

@@ -152,3 +152,20 @@ def test_unigram_table_power():
     t = unigram_table(walks, 3)
     assert t[2] == 0
     assert abs(t[0] / t[1] - 3 ** 0.75) < 1e-5
+
+
+def test_short_walks_and_wide_windows():
+    """Regression: window > walk_length crashed walks_to_pairs with an
+    IndexError, and walk_length=1 crashed the clique walker."""
+    import numpy as np
+    from matcha_tpu.walks.clique import clique_node2vec_walks
+    from matcha_tpu.walks.skipgram import walks_to_pairs
+
+    rng = np.random.default_rng(0)
+    walks = rng.integers(0, 10, (16, 5))
+    pairs = walks_to_pairs(walks, window=10, rng=rng)   # window > L
+    assert pairs.shape[1] == 2 and len(pairs) > 0
+
+    w = clique_node2vec_walks(4, [[0, 1, 2], [1, 2, 3]], num_walks=2,
+                              walk_length=1, seed=0)
+    assert w.shape == (8, 1)
