@@ -28,8 +28,13 @@ def node_space_from_type_counts(type_names: Sequence[str],
     """A typed node space as a GenomeBins: type t holds ``counts[t]`` nodes,
     ids contiguous, 1-based with 0 = padding — the ``nums_type`` /
     ``num_list`` structure of the legacy driver (ref main_drop.py:579-599)."""
+    counts = [int(c) for c in counts]
+    if any(c <= 0 for c in counts):
+        # GenomeBins cannot express a 0-node chromosome (every chrom gets
+        # >= 1 bin), which would add a phantom node the sampler could draw
+        raise ValueError(f"every node type needs >= 1 node, got {counts}")
     # bins_per_chrom = ceil(size/res)+1; with res=1 and size=n-1 -> n bins
-    sizes = [max(int(c) - 1, 0) for c in counts]
+    sizes = [c - 1 for c in counts]
     return GenomeBins(list(type_names), sizes, resolution=1)
 
 
@@ -75,6 +80,7 @@ def build_generic_problem(type_counts: Sequence[int], hyperedges,
         type_names = [f"type{i}" for i in range(len(type_counts))]
     space = node_space_from_type_counts(type_names, type_counts)
 
+    hyperedges = [list(e) for e in hyperedges]   # tolerate generators
     sizes = [len(e) for e in hyperedges]
     flat = (np.concatenate([np.asarray(e) for e in hyperedges])
             .astype(np.int32) if sizes else np.zeros(0, np.int32))

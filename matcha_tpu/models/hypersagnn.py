@@ -158,8 +158,7 @@ def _init_model_body(key, dims, chrom_sizes, embedding_mode, table_init):
 
 
 def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
-                        table_dtype=jnp.float32,
-                        row_pad_multiple: int = 1) -> FrozenTables:
+                        table_dtype=jnp.float32) -> FrozenTables:
     """Host-side construction of the frozen buffers.
 
     * features: per-chromosome row-wise corrcoef of the intra-chrom contact
@@ -170,21 +169,12 @@ def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
       matrix, NaN->0 (ref Code/Modules.py:146-152); stored with a leading
       zero row so it can be indexed by node id directly.
 
-    row_pad_multiple: pad the ROW count of the big node-axis tables (features,
-    inter_z) with zeros to a multiple of the mesh "model" axis so they can be
-    row-sharded across chips (encode_node_table slices the pads back off —
-    a feature table's true row count equals its column count).
+    Row padding for model-axis sharding is NOT done here — the Trainer
+    applies parallel/mesh.pad_frozen_for_mesh (the single implementation;
+    encode_node_table slices the pads back off).
     """
     C = genome.num_chroms
     n = genome.num_nodes
-
-    def pad_rows(a: np.ndarray) -> np.ndarray:
-        m = row_pad_multiple
-        if m <= 1 or a.shape[0] % m == 0:
-            return a
-        extra = m - a.shape[0] % m
-        return np.concatenate(
-            [a, np.zeros((extra,) + a.shape[1:], a.dtype)], axis=0)
 
     features = []
     for c in range(C):
@@ -193,7 +183,7 @@ def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
         with np.errstate(invalid="ignore", divide="ignore"):
             corr = np.corrcoef(block)
         corr = np.nan_to_num(corr, nan=0.0).astype(np.float32)
-        features.append(jnp.asarray(pad_rows(corr), dtype=table_dtype))
+        features.append(jnp.asarray(corr, dtype=table_dtype))
 
     sizes = genome.bins_per_chrom
     attr = np.zeros((n + 1, C + 1), dtype=np.float32)
@@ -214,7 +204,6 @@ def build_frozen_tables(genome, intra_adj: np.ndarray, inter_adj: np.ndarray,
     inter = np.nan_to_num(inter, nan=0.0)
     inter_z = np.zeros((n + 1, n), dtype=np.float32)
     inter_z[1:, :] = inter   # row x holds inter contacts of node x (x>=1)
-    inter_z = pad_rows(inter_z)
 
     return FrozenTables(
         features=tuple(features),

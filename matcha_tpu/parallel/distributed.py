@@ -20,6 +20,7 @@ The multi-process path is exercised for real by tests/test_multiprocess.py
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -33,9 +34,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
                      process_id: Optional[int] = None) -> None:
     """Initialize jax.distributed.  With no arguments, TPU pod environments
     auto-discover topology from the runtime; arguments are for CPU/GPU
-    clusters or tests."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    clusters or tests.
+
+    MUST be called before any other JAX call: probing e.g.
+    ``jax.process_count()`` first would initialize the XLA backend, after
+    which ``jax.distributed.initialize`` unconditionally raises — and a
+    swallowed error there means every pod host silently trains as an
+    independent single-process job with the wrong topology."""
+    if jax.distributed.is_initialized():
+        return
     try:
         if coordinator_address is None and num_processes is None:
             jax.distributed.initialize()
@@ -43,8 +50,27 @@ def init_distributed(coordinator_address: Optional[str] = None,
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes, process_id=process_id)
-    except (RuntimeError, ValueError):
-        # single-process environment (no coordinator): run locally
+    except RuntimeError as e:
+        if "backend" in str(e).lower():
+            # Called after the XLA backend initialized.  If a cluster was
+            # actually requested (explicit args or pod environment markers),
+            # failing loudly beats every host silently training as an
+            # independent single-process job with the wrong topology; a
+            # plain single-process late call stays a no-op.
+            wants_cluster = coordinator_address is not None or any(
+                os.environ.get(v) for v in
+                ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                 "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID",
+                 "TPU_WORKER_ID"))
+            if wants_cluster:
+                raise RuntimeError(
+                    "init_distributed was called after JAX initialized its "
+                    "backend; call it FIRST or the pod topology is lost"
+                ) from e
+            return
+        # no coordinator/cluster detected: single-process environment
+    except ValueError:
+        # auto-detection found no supported cluster: single-process
         pass
 
 

@@ -117,12 +117,17 @@ def batch_sharding(mesh: Mesh, ndim: int, stacked: bool = True) -> NamedSharding
 
 
 def shard_train_inputs(mesh: Mesh, params, frozen: FrozenTables, batch):
-    """device_put everything under its sharding rule; jit then compiles the
-    step as one SPMD program over the mesh."""
-    params = jax.device_put(params, param_sharding(params, mesh))
-    frozen = jax.device_put(frozen, frozen_sharding(frozen, mesh))
+    """Place everything under its sharding rule (the same path the Trainer
+    uses): pad the row-sharded frozen tables to the model axis, then
+    put_global so the placement is multi-process safe."""
+    from matcha_tpu.parallel.distributed import put_global
+    params = jax.tree_util.tree_map(put_global, params,
+                                    param_sharding(params, mesh))
+    frozen = pad_frozen_for_mesh(frozen, mesh)
+    frozen = jax.tree_util.tree_map(put_global, frozen,
+                                    frozen_sharding(frozen, mesh))
     batch = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
+        lambda x: put_global(x, batch_sharding(mesh, x.ndim)), batch)
     return params, frozen, batch
 
 

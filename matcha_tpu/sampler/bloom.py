@@ -66,8 +66,8 @@ class DeviceBloomFilter:
     membership query is a SINGLE random gather instead of n_hashes — random
     single-word bitset gathers are the negative sampler's HBM bottleneck on
     TPU (profiled at ~0.7 ms per probe pass at bench geometry).  Sized at
-    128 bits/item the block collision math gives FP ≈ 3e-4 (two bits in one
-    ~Poisson(0.5)-loaded 32-bit word), inside the reference's 1e-3 target
+    128 bits/item the block collision math gives FP ≈ 7.3e-4 (two bits in
+    one ~Poisson(0.5)-loaded 32-bit word), inside the reference's 1e-3 target
     (ref pybloom_live err=1e-3, Code/utils.py:83-85)."""
     bits: jnp.ndarray          # (m_bits // 32,) uint32
     m_bits: int                # static
@@ -116,12 +116,12 @@ def _geometry(capacity: int, error_rate: float,
     fast=True (default): blocked layout, 128 bits/item (4 words/item) with
     both bits of a key in one word — ONE gather per membership query.
     FP ≈ E[s·(s-1)]/32² + E[s]/32·P(b1=b2) with s ~ Poisson(0.5) set bits
-    per word ≈ 3e-4, within the reference's 1e-3 target; HBM is cheap and
-    random gathers are not.
+    per word = 0.25/1024 + (0.5/32)/32 ≈ 7.3e-4, within the reference's
+    1e-3 target; HBM is cheap and random gathers are not.
     fast=False: classic optimal-k sizing for the requested error rate
     (pybloom_live-equivalent, ref Code/utils.py:83-85).
     """
-    if fast and error_rate >= 2.9e-4:
+    if fast and error_rate >= 7.3e-4:
         m_bits = ((capacity * 128 + 31) // 32) * 32
         return m_bits, 2, True
     m_bits = int(math.ceil(-capacity * math.log(error_rate) / (math.log(2) ** 2)))
@@ -134,7 +134,7 @@ def _geometry(capacity: int, error_rate: float,
         raise ValueError(
             f"bloom geometry overflows uint32 indexing: capacity={capacity} "
             f"error_rate={error_rate} needs {m_bits} bits (>= 2^32); use "
-            f"the blocked layout (error_rate >= 2.9e-4)")
+            f"the blocked layout (error_rate >= 7.3e-4)")
     n_hashes = max(1, round(m_bits / capacity * math.log(2)))
     return m_bits, n_hashes, False
 

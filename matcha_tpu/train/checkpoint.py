@@ -82,7 +82,10 @@ class OrbaxCheckpointer:
 
         kwargs = {"params": std_restore(like_params),
                   "meta": ocp.args.JsonRestore()}
-        if like_opt_state is not None or self._has_item(step, "opt_state"):
+        # restore opt_state only when the caller wants it AND the
+        # checkpoint has it: a missing item crashes orbax, and reading the
+        # full optimizer state to discard it wastes disk + host memory
+        if like_opt_state is not None and self._has_item(step, "opt_state"):
             kwargs["opt_state"] = std_restore(like_opt_state)
         out = self.manager.restore(step, args=ocp.args.Composite(**kwargs))
         epoch = out["meta"].get("epoch", -1)

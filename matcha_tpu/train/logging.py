@@ -51,8 +51,10 @@ class MetricsLogger:
             self._file.flush()
         if self._tb:
             step = epoch
-            self._tb.add_scalar(f"{stage}/train_bce", train["bce"], step)
-            self._tb.add_scalar(f"{stage}/valid_bce", valid["bce"], step)
+            # tolerate missing keys like the JSONL branch (which writes null)
+            for name, m in [("train_bce", train), ("valid_bce", valid)]:
+                if m.get("bce") is not None:
+                    self._tb.add_scalar(f"{stage}/{name}", m["bce"], step)
             for split, m in [("train", train), ("valid", valid)]:
                 for k, v in m.get("metrics", {}).items():
                     self._tb.add_scalar(f"{stage}/{split}_auroc_{k}",

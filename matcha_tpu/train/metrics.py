@@ -40,6 +40,10 @@ def _one(yt, yp) -> Dict[str, float]:
 def format_metrics(metrics: Dict) -> Tuple[str, str, str]:
     """Reference-style formatted strings (ref Code/utils.py:40-51):
     'all 0.912 2 0.905 3 ...' for roc / aupr / acc."""
+    if not metrics:
+        # eval_epoch legitimately returns {} when every test bucket was
+        # empty or too small to shard — log that, don't crash the epoch
+        return ("n/a",) * 3
     keys = ["all"] + sorted(k for k in metrics if k != "all")
     roc = " ".join(f"{k} {metrics[k]['auroc']:.3f}" for k in keys)
     aupr = " ".join(f"{k} {metrics[k]['auprc']:.3f}" for k in keys)

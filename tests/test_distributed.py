@@ -29,3 +29,13 @@ def test_put_global_and_replicate_roundtrip():
     np.testing.assert_array_equal(np.asarray(g), x)
     back = replicate_to_host(g, mesh)
     np.testing.assert_array_equal(back, x)
+
+
+def test_init_raises_when_cluster_requested_late(monkeypatch):
+    """If pod markers are present but the backend already initialized, the
+    helper must fail loudly — silently proceeding would train every host
+    as an independent single-process job with the wrong topology."""
+    import pytest
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    with pytest.raises(RuntimeError, match="backend"):
+        init_distributed()
