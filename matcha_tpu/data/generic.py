@@ -53,6 +53,23 @@ def adjacency_features(space: GenomeBins, flat: np.ndarray,
     return intra, inter
 
 
+def packed_coord_attributes(attribute_dict: np.ndarray,
+                            n_first_type: int) -> np.ndarray:
+    """Decode the legacy ``attribute_dict`` layout into a per-node attribute
+    column (ref History_version/Code/main_drop.py:607-631): the stored
+    (M, 1) values pack two genomic coordinates as ``start*1e7 + end``; the
+    reference splits them into end (``% 1e7``) then start (``// 1e7``)
+    stacked along the NODE axis (one half per node type), scales by the
+    global max, and prepends zero rows for the first (attribute-less) node
+    type plus the padding id.  Returns (1 + n_first_type + 2M, 1) float32,
+    indexable by 1-based node id like ``FrozenTables.attr_table``."""
+    a = np.asarray(attribute_dict, dtype=np.float64).reshape(-1, 1)
+    a = np.concatenate([a % 1e7, np.floor(a / 1e7)])
+    a = a / np.max(a)
+    return np.concatenate(
+        [np.zeros((int(n_first_type) + 1, 1)), a]).astype(np.float32)
+
+
 def load_npz_dataset(path: str) -> Dict:
     """Load the legacy ``train_data.npz``/``test_data.npz`` layout
     (ref main_drop.py:579-620): arrays ``train_data``/``test_data`` (ragged
@@ -65,11 +82,17 @@ def load_npz_dataset(path: str) -> Dict:
 def build_generic_problem(type_counts: Sequence[int], hyperedges,
                           dim: int = 64, n_head: int = 8,
                           type_names: Optional[Sequence[str]] = None,
-                          seed: int = 0):
+                          seed: int = 0,
+                          attributes: Optional[np.ndarray] = None):
     """One-call setup for an arbitrary hypergraph: node space, frozen tables
     (clique-expansion features), model params, chromosome/type table.
 
     hyperedges: iterable of 1-based node-id lists (sorted, distinct).
+    attributes: optional (N, A) or (N+1, A) per-node attribute matrix fed
+    through ``attr_nn`` in place of the built-in one-hot-type + coord table
+    — the legacy ``attribute_dict`` surface (ref main_drop.py:607-631; use
+    ``packed_coord_attributes`` to decode that file layout).  Row 0 is the
+    padding id; an (N, A) input gets a zero row prepended.
     Returns (space, dims, params, frozen, chrom_table)."""
     import jax
     from matcha_tpu.models.hypersagnn import (ModelDims, build_frozen_tables,
@@ -88,9 +111,25 @@ def build_generic_problem(type_counts: Sequence[int], hyperedges,
     np.cumsum(sizes, out=offsets[1:])
 
     intra, inter = adjacency_features(space, flat, offsets)
+    attr_dim = 0
+    if attributes is not None:
+        attributes = np.asarray(attributes, dtype=np.float32)
+        if attributes.ndim != 2:
+            raise ValueError(f"attributes must be 2-D, got {attributes.shape}")
+        if attributes.shape[0] == space.num_nodes:      # prepend pad row 0
+            attributes = np.concatenate(
+                [np.zeros((1, attributes.shape[1]), np.float32), attributes])
+        if attributes.shape[0] != space.num_nodes + 1:
+            raise ValueError(
+                f"attributes rows must be N={space.num_nodes} or N+1, "
+                f"got {attributes.shape[0]}")
+        attr_dim = attributes.shape[1]
     dims = ModelDims(dim=dim, n_head=n_head, num_chroms=space.num_chroms,
-                     num_nodes=space.num_nodes)
+                     num_nodes=space.num_nodes, attr_dim=attr_dim)
     chrom_sizes = [int(e - s) for s, e in space.chrom_range]
     params = init_model(jax.random.PRNGKey(seed), dims, chrom_sizes)
     frozen = build_frozen_tables(space, intra, inter)
+    if attributes is not None:
+        import jax.numpy as jnp
+        frozen = frozen._replace(attr_table=jnp.asarray(attributes))
     return space, dims, params, frozen, ChromTable.from_genome(space)

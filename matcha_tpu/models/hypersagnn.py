@@ -54,6 +54,11 @@ class ModelDims(NamedTuple):
     compute_dtype: str = "float32"  # "bfloat16" = mixed precision (f32 master
                                     # params, f32 softmax/LN stats/loss)
     use_pallas_attention: bool = False  # fused VMEM attention kernel (TPU)
+    attr_dim: int = 0           # columns of attr_table; 0 = num_chroms + 1
+                                # (the built-in one-hot-chrom + coord table).
+                                # Nonzero = a user attribute matrix (the
+                                # legacy attribute_dict surface, ref
+                                # History_version/Code/main_drop.py:607-631)
 
     @property
     def cdt(self):
@@ -145,7 +150,7 @@ def _init_model_body(key, dims, chrom_sizes, embedding_mode, table_init):
             recon.append(linear_init(keys[8 + len(chrom_sizes) + c], d, n_c))
         embed = {"ae": ae, "recon": recon}
 
-    attr_dim = len(chrom_sizes) + 1
+    attr_dim = dims.attr_dim if dims.attr_dim else len(chrom_sizes) + 1
     return {
         "embed": embed,
         "attr_nn": linear_init(keys[0], attr_dim, d),      # ref :248

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 
 from matcha_tpu.data.generic import (adjacency_features,
                                      build_generic_problem,
-                                     node_space_from_type_counts)
+                                     node_space_from_type_counts,
+                                     packed_coord_attributes)
 from matcha_tpu.data.store import split_by_frequency_bands
 from matcha_tpu.models.hypersagnn import forward
 from matcha_tpu.sampler.bloom import build_bloom
@@ -60,6 +61,36 @@ def test_generic_problem_trains_and_samples(rng):
     np.testing.assert_array_equal(
         np.sort(space.node2chrom[np.tile(pos, (2, 1))], 1),
         np.sort(space.node2chrom[neg], 1))
+
+
+def test_packed_coord_attributes_matches_reference_rule():
+    """Oracle: the exact transform at ref main_drop.py:627-630."""
+    a = np.array([[3 * 1e7 + 5], [7 * 1e7 + 2]])
+    got = packed_coord_attributes(a, n_first_type=4)
+    # ref: concat([a % 1e7, a // 1e7]) / max, prepended zeros(n0+1, 1)
+    exp = np.concatenate([a % 1e7, np.floor(a / 1e7)]) / 7.0
+    assert got.shape == (4 + 1 + 4, 1)
+    np.testing.assert_allclose(got[:5], 0.0)
+    np.testing.assert_allclose(got[5:], exp, rtol=1e-6)
+
+
+def test_generic_problem_custom_attributes(rng):
+    """attribute_dict surface: a user attribute matrix replaces the built-in
+    one-hot-type table and flows through attr_nn (ref main_drop.py:607-631)."""
+    edges = [sorted({int(rng.integers(1, 9)), int(rng.integers(9, 21))})
+             for _ in range(40)]
+    edges = [e for e in edges if len(e) == 2]
+    attrs = rng.standard_normal((20, 3)).astype(np.float32)
+    space, dims, params, frozen, _ = build_generic_problem(
+        [8, 12], edges, dim=16, n_head=4, attributes=attrs)
+    assert dims.attr_dim == 3
+    assert frozen.attr_table.shape == (21, 3)       # pad row 0 prepended
+    np.testing.assert_array_equal(np.asarray(frozen.attr_table[0]), 0.0)
+    assert params["attr_nn"]["w"].shape == (3, 16)
+    x = jnp.asarray(edges[:4], dtype=jnp.int32)
+    out = forward(params, frozen, dims, x)
+    assert out.shape == (4, 1)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_frequency_bands():
