@@ -1,6 +1,9 @@
 """Legacy (History_version) preprocessing surfaces.
 
-Currently: the manuscript pipeline's low-frequency node filter
+The manuscript pipeline's low-frequency node filter, and its text
+pair-list contact ingest (``parse_contact_pairs``).
+
+The low-frequency node filter
 (ref: History_version/Code/process_SPRITE.py:93-161) — drop every node that
 appears in <= ``min_freq`` clusters (frequency counted only over clusters of
 size <= ``freq_count_cap``), renumber the survivors contiguously from 1,
@@ -87,6 +90,56 @@ def filter_low_frequency_nodes(flat: np.ndarray, offsets: np.ndarray,
     return NodeFilterResult(new_flat, new_offsets, new_chrom_range,
                             node2newnode, survived,
                             node_freq[:node_num].astype(np.int64))
+
+
+def parse_contact_pairs(path: str, genome) -> tuple[np.ndarray, np.ndarray]:
+    """Legacy text pair-list contact ingest
+    (ref History_version/Code/process_SPRITE.py:164-202): a TSV with columns
+    ``chrom1 start1 chrom2 start2 balanced`` accumulated into symmetric dense
+    ``intra_adj`` / ``inter_adj`` of shape (node_num-1, node_num-1).
+
+    Reference rules preserved: rows with a chromosome outside the genome's
+    list or a NaN ``balanced`` weight are skipped; a start coordinate that is
+    not an exact bin start (not in the ``bin2node`` dict) skips the row
+    (:186-188, the ref prints it); both (i, j) and (j, i) are incremented, so
+    a self-pair lands 2w on the diagonal (:191-196, quirk preserved).
+
+    Vectorized pandas/numpy replacement for the reference's per-row loop.
+    """
+    import pandas as pd
+
+    df = pd.read_table(path, sep="\t")
+    n = genome.num_nodes
+    intra = np.zeros((n, n))
+    inter = np.zeros((n, n))
+    if len(df) == 0:
+        return intra, inter
+
+    c1 = df["chrom1"].map(genome._name2idx).to_numpy(dtype=np.float64,
+                                                     na_value=np.nan)
+    c2 = df["chrom2"].map(genome._name2idx).to_numpy(dtype=np.float64,
+                                                     na_value=np.nan)
+    s1 = df["start1"].to_numpy(np.int64)
+    s2 = df["start2"].to_numpy(np.int64)
+    w = df["balanced"].to_numpy(np.float64)
+
+    res = genome.resolution
+    bins = genome.bins_per_chrom
+    keep = ~np.isnan(c1) & ~np.isnan(c2) & ~np.isnan(w)
+    ci1 = np.where(keep, c1, 0).astype(np.int64)
+    ci2 = np.where(keep, c2, 0).astype(np.int64)
+    # "bin in bin2node": exact bin-start coordinate within the chromosome
+    keep &= (s1 % res == 0) & (s1 // res < bins[ci1])
+    keep &= (s2 % res == 0) & (s2 // res < bins[ci2])
+
+    ci1, ci2, s1, s2, w = ci1[keep], ci2[keep], s1[keep], s2[keep], w[keep]
+    n1 = genome.coords_to_nodes(ci1, s1) - 1        # ref offsets ids by -1
+    n2 = genome.coords_to_nodes(ci2, s2) - 1
+    same = ci1 == ci2
+    for adj, m in ((intra, same), (inter, ~same)):
+        np.add.at(adj, (n1[m], n2[m]), w[m])
+        np.add.at(adj, (n2[m], n1[m]), w[m])
+    return intra, inter
 
 
 def remap_node_dicts(result: NodeFilterResult, node2bin: dict,

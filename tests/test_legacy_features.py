@@ -188,6 +188,58 @@ def test_legacy_node_filter_matches_reference_semantics(rng):
     assert res.new_node_num == int(ref_range.max())
 
 
+def test_parse_contact_pairs_matches_reference_loop(rng, tmp_path):
+    """Oracle: the exact per-row rules of ref process_SPRITE.py:164-202 —
+    chrom-list filter, NaN skip, exact-bin membership, symmetric double-add
+    (2w on the diagonal)."""
+    from matcha_tpu.data.legacy import parse_contact_pairs
+    genome = GenomeBins(["chr1", "chr2"], [5_000_000, 3_000_000], 1_000_000)
+    rows = []
+    for _ in range(300):
+        c1 = rng.choice(["chr1", "chr2", "chrX"])   # chrX: outside the list
+        c2 = rng.choice(["chr1", "chr2"])
+        s1 = int(rng.integers(0, 8)) * 500_000      # half off-bin-start
+        s2 = int(rng.integers(0, 8)) * 1_000_000    # some past the chrom end
+        w = float(rng.standard_normal())
+        if rng.random() < 0.1:
+            w = np.nan
+        rows.append((c1, s1, c2, s2, w))
+    rows.append(("chr1", 1_000_000, "chr1", 1_000_000, 2.5))  # diagonal quirk
+    path = tmp_path / "SPRITE_contact.txt"
+    with open(path, "w") as f:
+        f.write("chrom1\tstart1\tchrom2\tstart2\tbalanced\n")
+        for c1, s1, c2, s2, w in rows:
+            f.write(f"{c1}\t{s1}\t{c2}\t{s2}\t{w}\n")
+
+    # reference loop, verbatim semantics
+    bin2node = genome.bin2node_dict()
+    n = genome.num_nodes
+    intra_ref = np.zeros((n, n))
+    inter_ref = np.zeros((n, n))
+    for c1, s1, c2, s2, w in rows:
+        if c1 not in ["chr1", "chr2"] or c2 not in ["chr1", "chr2"]:
+            continue
+        if np.isnan(w):
+            continue
+        b1, b2 = f"{c1}:{s1}", f"{c2}:{s2}"
+        if b1 in bin2node and b2 in bin2node:
+            n1, n2 = bin2node[b1] - 1, bin2node[b2] - 1
+            adj = intra_ref if c1 == c2 else inter_ref
+            adj[n1, n2] += w
+            adj[n2, n1] += w
+
+    intra, inter = parse_contact_pairs(str(path), genome)
+    np.testing.assert_allclose(intra, intra_ref)
+    np.testing.assert_allclose(inter, inter_ref)
+
+    # diagonal quirk in isolation: a self-pair lands 2w
+    solo = tmp_path / "solo.txt"
+    solo.write_text("chrom1\tstart1\tchrom2\tstart2\tbalanced\n"
+                    "chr1\t1000000\tchr1\t1000000\t2.5\n")
+    intra_s, _ = parse_contact_pairs(str(solo), genome)
+    assert intra_s[1, 1] == 5.0
+
+
 def test_outlier_detection(problem, rng):
     genome, dims, chrom_sizes, frozen = problem
     params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
