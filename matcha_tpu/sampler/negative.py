@@ -98,9 +98,17 @@ def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
     cdf = jnp.asarray(_truncated_binomial_cdf(k), dtype=jnp.float32)
     u = jax.random.uniform(kc, (n,))
     change_num = jnp.searchsorted(cdf, u, side="left") + 1      # in 1..k
-    # random ranks: position j is corrupted iff its rank < change_num
+    # random ranks: position j is corrupted iff its rank < change_num.
+    # rank by O(k^2) pairwise compare-counts (index tie-break) instead of a
+    # double argsort — jnp.argsort lowers to a general sort HLO, far
+    # costlier on TPU than k^2 vectorized compares for k <= 5, and the rank
+    # vector of iid uniforms is a uniform permutation either way
     scores = jax.random.uniform(kp, (n, k))
-    ranks = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+    s_i = scores[:, :, None]                                    # (n, k, 1)
+    s_j = scores[:, None, :]                                    # (n, 1, k)
+    less = (s_j < s_i) | ((s_j == s_i)
+                          & (jnp.arange(k)[None, :] < jnp.arange(k)[:, None]))
+    ranks = jnp.sum(less, axis=-1)                              # (n, k)
     return ranks < change_num[:, None]
 
 
