@@ -39,17 +39,26 @@ def _mix(h, xp):
     return h
 
 
-def _hash_rows(rows, xp):
-    """(N, k) int rows -> (h1, h2) uint32 hash pair per row.
+def _hash_rows(rows, xp, axis: int = -1):
+    """int rows -> (h1, h2) uint32 hash pair per row, accumulated over the
+    k members along ``axis`` (-1: row-major (N, k); -2: feature-major
+    (k, N), hashed WITHOUT transposing so the batch axis stays on lanes).
 
-    Identical bit-for-bit under numpy and jnp (uint32 wraparound).
+    Identical bit-for-bit under numpy and jnp (uint32 wraparound), and
+    independent of ``axis`` for matching data.
     """
     rows = rows.astype(xp.uint32)
-    k = rows.shape[-1]
-    h1 = xp.full(rows.shape[:-1], _SEED1, dtype=xp.uint32)
-    h2 = xp.full(rows.shape[:-1], _SEED2, dtype=xp.uint32)
-    for j in range(k):
-        x = rows[..., j]
+    if axis == -1:
+        k = rows.shape[-1]
+        cols = [rows[..., j] for j in range(k)]
+    elif axis == -2:
+        k = rows.shape[-2]
+        cols = [rows[..., j, :] for j in range(k)]
+    else:
+        raise ValueError(f"axis must be -1 or -2, got {axis}")
+    h1 = xp.full(cols[0].shape, _SEED1, dtype=xp.uint32)
+    h2 = xp.full(cols[0].shape, _SEED2, dtype=xp.uint32)
+    for x in cols:
         h1 = _mix(h1 ^ x, xp) * _FNV_PRIME1
         h2 = _mix(h2 ^ (x * _GOLDEN), xp) * _FNV_PRIME2
     # guarantee odd step for double hashing so all m residues are reachable
@@ -76,13 +85,22 @@ class DeviceBloomFilter:
 
     def contains(self, rows: jnp.ndarray) -> jnp.ndarray:
         """Batched membership query: (N, k) int32 -> (N,) bool (device)."""
-        h1, h2 = _hash_rows(rows, jnp)
+        return self._contains_hashed(*_hash_rows(rows, jnp))
+
+    def contains_cols(self, rows_t: jnp.ndarray) -> jnp.ndarray:
+        """`contains` for feature-major rows: (..., k, N) int32 -> (..., N)
+        bool.  Hashing over axis -2 keeps the batch axis N on the TPU lane
+        dimension — every elementwise hash op runs full-width instead of
+        k/128 lanes (the same layout win as the fm attention kernel)."""
+        return self._contains_hashed(*_hash_rows(rows_t, jnp, axis=-2))
+
+    def _contains_hashed(self, h1, h2):
         if self.blocked:
             w, mask = _blocked_word_mask(h1, h2, self.bits.shape[0], jnp)
             word = self.bits[w.astype(jnp.int32)]
             return (word & mask) == mask
         m = jnp.uint32(self.m_bits)
-        hit = jnp.ones(rows.shape[:-1], dtype=bool)
+        hit = jnp.ones(h1.shape, dtype=bool)
         for i in range(self.n_hashes):
             idx = (h1 + jnp.uint32(i) * h2) % m
             word = self.bits[(idx >> jnp.uint32(5)).astype(jnp.int32)]

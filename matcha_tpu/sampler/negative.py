@@ -117,7 +117,8 @@ def sample_negatives_with_stats(
         min_distance: int, bloom: Optional[DeviceBloomFilter], *,
         neg_num: int = 3, max_trials: int = 8, hard_ratio: float = 1.0,
         extra_rounds: int = 32, max_probes: Optional[int] = None,
-        chrom_bounds: Optional[tuple] = None) -> Tuple[jnp.ndarray, dict]:
+        chrom_bounds: Optional[tuple] = None,
+        propose_impl: str = "xla") -> Tuple[jnp.ndarray, dict]:
     """Generate (B*neg_num, k) negatives for a (B, k) positive bucket.
 
     hard_ratio: fraction of negatives corrupted chromosome-constrained at the
@@ -125,6 +126,10 @@ def sample_negatives_with_stats(
     hyperedges over the full node range ("simple") — the legacy pair_ratio
     mixing (ref History_version/Code/main_SPRITE.py:423-449).  The current
     reference pipeline uses hard_ratio=1.0.
+
+    propose_impl: "xla" (default) or "pallas" — the fused feature-major
+    phase-1 kernel (ops/propose.py; falls back to "xla" when the row count
+    has no supported block width).  Distribution-identical; streams differ.
 
     Returns (negatives, stats) where stats counts the rows that exhausted
     every trial: ``bloom_fallback`` = rows that ended on a structurally-valid
@@ -211,37 +216,60 @@ def sample_negatives_with_stats(
     T = max(1, min(int(max_trials), 16))
     S = T if max_probes is None else max(1, min(int(max_probes), T))
     key, kt = jax.random.split(key)
-    u = jax.random.uniform(kt, (T, n, k))
-    # same f32-rounding guard as in propose(): never land on hi itself
-    cand = (lo[None] + jnp.minimum(jnp.floor((hi - lo)[None] * u),
-                                   (hi - lo - 1.0)[None])).astype(jnp.int32)
-    temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
-    temp = sort_small(temp)
-    ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)
+    use_pallas = False
+    if propose_impl == "pallas" and k in _SORT_NETS:
+        from matcha_tpu.ops.propose import propose_phase1, supported_block
+        use_pallas = supported_block(n) > 0
+    if use_pallas:
+        # feature-major fused kernel (ops/propose.py): the whole propose/
+        # sort/gap/stage chain in one VMEM pass with n on the lane axis;
+        # distribution-identical to the XLA path (fresh iid uniforms, same
+        # first-acceptance order), stream differs (u drawn (T, k, n))
+        u_t = jax.random.uniform(kt, (T, k, n))
+        probe_t, has_t = propose_phase1(
+            orig.T, change.T.astype(jnp.int32), lo.T, hi.T, u_t,
+            min_distance=min_distance, max_probes=S)       # (S, k, n)
+        acc_stage = has_t & ~bloom.contains_cols(probe_t)  # (S, n)
+        acc_found = jnp.zeros((n,), bool)
+        chosen_t = probe_t[0]    # fallback: first structurally-valid
+        for s in range(S):
+            take = ~acc_found & acc_stage[s]
+            chosen_t = jnp.where(take[None, :], probe_t[s], chosen_t)
+            acc_found = acc_found | acc_stage[s]
+        chosen = chosen_t.T                                # (n, k)
+        ok_found = has_t[0]      # any struct-ok trial exists
+    else:
+        u = jax.random.uniform(kt, (T, n, k))
+        # same f32-rounding guard as in propose(): never land on hi itself
+        cand = (lo[None] + jnp.minimum(jnp.floor((hi - lo)[None] * u),
+                                       (hi - lo - 1.0)[None])).astype(jnp.int32)
+        temp = jnp.where(change[None], cand, orig[None])    # (T, n, k)
+        temp = sort_small(temp)
+        ok = jnp.all(jnp.diff(temp, axis=-1) > min_distance, axis=-1)  # (T, n)
 
-    # s-th structurally-valid trial per row (trial order), s = 0..S-1 —
-    # selected with unrolled masked sums, NOT take_along_axis: an XLA gather
-    # over the (T, n, k) tensor would cost the same latency-bound HBM path
-    # the staged probing is here to avoid.
-    rank = jnp.cumsum(ok, axis=0) - 1                   # (T, n)
-    probe_rows, stage_has = [], []
-    for s in range(S):
-        m = ok & (rank == s)                            # (T, n)
-        sel = jnp.zeros((n, k), jnp.int32)
-        for t_ in range(T):
-            sel = sel + jnp.where(m[t_][:, None], temp[t_], 0)
-        probe_rows.append(sel)
-        stage_has.append(jnp.any(m, axis=0))
-    probe = jnp.stack(probe_rows)                       # (S, n, k)
-    acc_stage = jnp.stack(stage_has) & ~bloom.contains(probe)     # (S, n)
-    # first accepted stage (ascending), selected without gathers
-    acc_found = jnp.zeros((n,), bool)
-    chosen = probe[0]            # fallback: first structurally-valid; see ok
-    for s in range(S):
-        take = ~acc_found & acc_stage[s]
-        chosen = jnp.where(take[:, None], probe[s], chosen)
-        acc_found = acc_found | acc_stage[s]
-    ok_found = stage_has[0]      # any struct-ok trial exists
+        # s-th structurally-valid trial per row (trial order), s = 0..S-1 —
+        # selected with unrolled masked sums, NOT take_along_axis: an XLA
+        # gather over the (T, n, k) tensor would cost the same latency-bound
+        # HBM path the staged probing is here to avoid.
+        rank = jnp.cumsum(ok, axis=0) - 1                   # (T, n)
+        probe_rows, stage_has = [], []
+        for s in range(S):
+            m = ok & (rank == s)                            # (T, n)
+            sel = jnp.zeros((n, k), jnp.int32)
+            for t_ in range(T):
+                sel = sel + jnp.where(m[t_][:, None], temp[t_], 0)
+            probe_rows.append(sel)
+            stage_has.append(jnp.any(m, axis=0))
+        probe = jnp.stack(probe_rows)                       # (S, n, k)
+        acc_stage = jnp.stack(stage_has) & ~bloom.contains(probe)     # (S, n)
+        # first accepted stage (ascending), selected without gathers
+        acc_found = jnp.zeros((n,), bool)
+        chosen = probe[0]        # fallback: first structurally-valid; see ok
+        for s in range(S):
+            take = ~acc_found & acc_stage[s]
+            chosen = jnp.where(take[:, None], probe[s], chosen)
+            acc_found = acc_found | acc_stage[s]
+        ok_found = stage_has[0]  # any struct-ok trial exists
 
     # Phase 2: bounded sequential re-trial of ONLY the still-unaccepted rows
     # (one proposal per round, merged into failed rows) — the device analogue
@@ -285,13 +313,14 @@ def sample_negatives(key: jax.Array, positives: jnp.ndarray,
                      max_trials: int = 8, hard_ratio: float = 1.0,
                      extra_rounds: int = 32,
                      max_probes: Optional[int] = None,
-                     chrom_bounds: Optional[tuple] = None) -> jnp.ndarray:
+                     chrom_bounds: Optional[tuple] = None,
+                     propose_impl: str = "xla") -> jnp.ndarray:
     """`sample_negatives_with_stats` without the counters."""
     neg, _ = sample_negatives_with_stats(
         key, positives, table, min_distance, bloom, neg_num=neg_num,
         max_trials=max_trials, hard_ratio=hard_ratio,
         extra_rounds=extra_rounds, max_probes=max_probes,
-        chrom_bounds=chrom_bounds)
+        chrom_bounds=chrom_bounds, propose_impl=propose_impl)
     return neg
 
 

@@ -61,6 +61,8 @@ class TrainSettings(NamedTuple):
     # are ~n^k-sparse and 2 probes leave a ~1e-5 residue for phase 2.
     max_probes_k2: int = 4
     max_probes: int = 2
+    # "pallas": fused feature-major phase-1 proposal kernel (ops/propose.py)
+    propose_impl: str = "xla"
     learning_rate: float = 1e-3
     weight_decay: float = 0.01   # torch AdamW default (ref Code/main.py:630)
     task_mode: str = "class"     # "class" | "regress" (ref Code/main.py:60-115)
@@ -124,7 +126,8 @@ def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
             max_probes=(settings.max_probes_k2 if k == 2
                         else settings.max_probes),
             hard_ratio=settings.hard_ratio,
-            chrom_bounds=settings.chrom_bounds)
+            chrom_bounds=settings.chrom_bounds,
+            propose_impl=settings.propose_impl)
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
         fb_rows += st["rows"]
@@ -188,7 +191,8 @@ def _sample_all_negatives(table, blooms, settings, batch, key, ns=1):
             max_probes=(settings.max_probes_k2 if k == 2
                         else settings.max_probes),
             hard_ratio=settings.hard_ratio,
-            chrom_bounds=settings.chrom_bounds)
+            chrom_bounds=settings.chrom_bounds,
+            propose_impl=settings.propose_impl)
         fb_bloom += st["bloom_fallback"]
         fb_orig += st["orig_fallback"]
         fb_rows += st["rows"]
