@@ -71,7 +71,8 @@ def main():
     settings = TrainSettings(
         alpha=1.0, beta=0.001, neg_num=3,
         max_trials=int(os.environ.get("MATCHA_MAX_TRIALS", 8)),
-        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "merged"))
+        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "merged"),
+        propose_impl=os.environ.get("MATCHA_PROPOSE", "xla"))
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
                       settings, blooms=blooms)
     # device-resident epochs: data pinned in HBM, permutations drawn on

@@ -93,7 +93,8 @@ def main():
     print(f"# blooms in {time.time()-t0:.1f}s", file=sys.stderr)
     settings = TrainSettings(
         alpha=1.0, beta=0.001,
-        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "hybrid"))
+        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "hybrid"),
+        propose_impl=os.environ.get("MATCHA_PROPOSE", "xla"))
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
                       settings, blooms=blooms)
     steps = 10
