@@ -65,6 +65,10 @@ def packed_coord_attributes(attribute_dict: np.ndarray,
     indexable by 1-based node id like ``FrozenTables.attr_table``."""
     a = np.asarray(attribute_dict, dtype=np.float64).reshape(-1, 1)
     a = np.concatenate([a % 1e7, np.floor(a / 1e7)])
+    if a.size == 0 or np.max(a) <= 0:
+        # max-normalization needs a positive max; 0/0 would silently fill
+        # the attribute table (and then the losses) with NaN
+        raise ValueError("attribute_dict must contain a positive value")
     a = a / np.max(a)
     return np.concatenate(
         [np.zeros((int(n_first_type) + 1, 1)), a]).astype(np.float32)

@@ -108,7 +108,10 @@ def parse_contact_pairs(path: str, genome) -> tuple[np.ndarray, np.ndarray]:
     """
     import pandas as pd
 
-    df = pd.read_table(path, sep="\t")
+    # dtype=str: bare-numeric chromosome names (Ensembl "1", "2") would
+    # otherwise be inferred as int64 and miss every str key in _name2idx
+    df = pd.read_table(path, sep="\t",
+                       dtype={"chrom1": str, "chrom2": str})
     n = genome.num_nodes
     intra = np.zeros((n, n))
     inter = np.zeros((n, n))
@@ -128,9 +131,9 @@ def parse_contact_pairs(path: str, genome) -> tuple[np.ndarray, np.ndarray]:
     keep = ~np.isnan(c1) & ~np.isnan(c2) & ~np.isnan(w)
     ci1 = np.where(keep, c1, 0).astype(np.int64)
     ci2 = np.where(keep, c2, 0).astype(np.int64)
-    # "bin in bin2node": exact bin-start coordinate within the chromosome
-    keep &= (s1 % res == 0) & (s1 // res < bins[ci1])
-    keep &= (s2 % res == 0) & (s2 // res < bins[ci2])
+    # "bin in bin2node": exact nonneg bin-start coord within the chromosome
+    keep &= (s1 >= 0) & (s1 % res == 0) & (s1 // res < bins[ci1])
+    keep &= (s2 >= 0) & (s2 % res == 0) & (s2 // res < bins[ci2])
 
     ci1, ci2, s1, s2, w = ci1[keep], ci2[keep], s1[keep], s2[keep], w[keep]
     n1 = genome.coords_to_nodes(ci1, s1) - 1        # ref offsets ids by -1

@@ -91,6 +91,21 @@ def sort_small(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+def _first_accepted(probe, acc_stage, expand):
+    """First Bloom-accepted stage per row (ascending trial order, selected
+    without gathers).  probe: (S, ...) per-stage candidates; acc_stage:
+    (S, n) acceptance; expand: maps an (n,) mask to probe's stage shape.
+    Fallback rows (no acceptance) keep probe[0], the first structurally-
+    valid candidate.  Returns (chosen, acc_found)."""
+    acc_found = jnp.zeros(acc_stage.shape[1:], bool)
+    chosen = probe[0]
+    for s in range(probe.shape[0]):
+        take = ~acc_found & acc_stage[s]
+        chosen = jnp.where(expand(take), probe[s], chosen)
+        acc_found = acc_found | acc_stage[s]
+    return chosen, acc_found
+
+
 def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
     """(n, k) bool mask with row-wise count ~ truncated Binomial(k, 1/2),
     positions uniform without replacement."""
@@ -138,6 +153,11 @@ def sample_negatives_with_stats(
     ``orig_fallback`` = rows that fell back to the positive itself.  ``rows``
     is the per-call denominator.
     """
+    if propose_impl not in ("xla", "pallas"):
+        # an unknown value silently running XLA would invalidate any
+        # pallas-vs-xla A/B that believes it measured the kernel
+        raise ValueError(f"propose_impl must be 'xla' or 'pallas', "
+                         f"got {propose_impl!r}")
     b, k = positives.shape
     n = b * neg_num
     orig = jnp.tile(positives, (neg_num, 1)).astype(jnp.int32)
@@ -217,9 +237,14 @@ def sample_negatives_with_stats(
     S = T if max_probes is None else max(1, min(int(max_probes), T))
     key, kt = jax.random.split(key)
     use_pallas = False
-    if propose_impl == "pallas" and k in _SORT_NETS:
+    if propose_impl == "pallas":
         from matcha_tpu.ops.propose import propose_phase1, supported_block
-        use_pallas = supported_block(n) > 0
+        use_pallas = k in _SORT_NETS and supported_block(n) > 0
+        if not use_pallas:
+            import warnings
+            warnings.warn(
+                f"propose_impl='pallas' fell back to XLA (n={n} has no "
+                f"supported block width, or k={k} > 6)", stacklevel=2)
     if use_pallas:
         # feature-major fused kernel (ops/propose.py): the whole propose/
         # sort/gap/stage chain in one VMEM pass with n on the lane axis;
@@ -230,12 +255,8 @@ def sample_negatives_with_stats(
             orig.T, change.T.astype(jnp.int32), lo.T, hi.T, u_t,
             min_distance=min_distance, max_probes=S)       # (S, k, n)
         acc_stage = has_t & ~bloom.contains_cols(probe_t)  # (S, n)
-        acc_found = jnp.zeros((n,), bool)
-        chosen_t = probe_t[0]    # fallback: first structurally-valid
-        for s in range(S):
-            take = ~acc_found & acc_stage[s]
-            chosen_t = jnp.where(take[None, :], probe_t[s], chosen_t)
-            acc_found = acc_found | acc_stage[s]
+        chosen_t, acc_found = _first_accepted(probe_t, acc_stage,
+                                              lambda m: m[None, :])
         chosen = chosen_t.T                                # (n, k)
         ok_found = has_t[0]      # any struct-ok trial exists
     else:
@@ -262,13 +283,8 @@ def sample_negatives_with_stats(
             stage_has.append(jnp.any(m, axis=0))
         probe = jnp.stack(probe_rows)                       # (S, n, k)
         acc_stage = jnp.stack(stage_has) & ~bloom.contains(probe)     # (S, n)
-        # first accepted stage (ascending), selected without gathers
-        acc_found = jnp.zeros((n,), bool)
-        chosen = probe[0]        # fallback: first structurally-valid; see ok
-        for s in range(S):
-            take = ~acc_found & acc_stage[s]
-            chosen = jnp.where(take[:, None], probe[s], chosen)
-            acc_found = acc_found | acc_stage[s]
+        chosen, acc_found = _first_accepted(probe, acc_stage,
+                                            lambda m: m[:, None])
         ok_found = stage_has[0]  # any struct-ok trial exists
 
     # Phase 2: bounded sequential re-trial of ONLY the still-unaccepted rows

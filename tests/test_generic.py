@@ -73,6 +73,13 @@ def test_packed_coord_attributes_matches_reference_rule():
     np.testing.assert_allclose(got[:5], 0.0)
     np.testing.assert_allclose(got[5:], exp, rtol=1e-6)
 
+    # degenerate inputs fail loudly instead of producing NaN tables
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        packed_coord_attributes(np.zeros((3, 1)), n_first_type=2)
+    with pytest.raises(ValueError, match="positive"):
+        packed_coord_attributes(np.zeros((0, 1)), n_first_type=2)
+
 
 def test_generic_problem_custom_attributes(rng):
     """attribute_dict surface: a user attribute matrix replaces the built-in

@@ -239,6 +239,22 @@ def test_parse_contact_pairs_matches_reference_loop(rng, tmp_path):
     intra_s, _ = parse_contact_pairs(str(solo), genome)
     assert intra_s[1, 1] == 5.0
 
+    # bare-numeric chromosome names must not be dtype-inferred to int
+    gnum = GenomeBins(["1", "2"], [5_000_000, 3_000_000], 1_000_000)
+    num = tmp_path / "num.txt"
+    num.write_text("chrom1\tstart1\tchrom2\tstart2\tbalanced\n"
+                   "1\t0\t1\t2000000\t1.5\n")
+    intra_n, _ = parse_contact_pairs(str(num), gnum)
+    assert intra_n[0, 2] == 1.5
+
+    # negative start coords are skipped (ref: key absent from bin2node),
+    # not wrapped into the wrong matrix row
+    negf = tmp_path / "neg.txt"
+    negf.write_text("chrom1\tstart1\tchrom2\tstart2\tbalanced\n"
+                    "chr1\t-1000000\tchr1\t1000000\t2.5\n")
+    intra_neg, inter_neg = parse_contact_pairs(str(negf), genome)
+    assert intra_neg.sum() == 0 and inter_neg.sum() == 0
+
 
 def test_outlier_detection(problem, rng):
     genome, dims, chrom_sizes, frozen = problem

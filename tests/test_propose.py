@@ -125,6 +125,20 @@ def test_sampler_pallas_impl_constraints(table, rng):
                                       genome.node2chrom[orig])
 
 
+def test_propose_impl_validated(table, rng):
+    """Unknown impl values raise (a typo silently measuring XLA would
+    invalidate a pallas A/B); unsupported sizes warn and fall back."""
+    genome, ct = table
+    pos = jnp.asarray([[1, 5, 9], [2, 7, 12]], jnp.int32)
+    bloom = build_bloom(np.asarray(pos))
+    with pytest.raises(ValueError, match="propose_impl"):
+        sample_negatives(jax.random.PRNGKey(0), pos, ct, 0, bloom,
+                         propose_impl="Pallas")
+    with pytest.warns(UserWarning, match="fell back"):
+        sample_negatives(jax.random.PRNGKey(0), pos, ct, 0, bloom,
+                         neg_num=3, propose_impl="pallas")   # n=6 rows
+
+
 def test_trainer_with_pallas_propose(table, rng):
     """One Trainer epoch with propose_impl='pallas' (interpret mode inside
     the jitted scan): finite losses, same machinery as the default."""
