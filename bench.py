@@ -18,12 +18,36 @@ and recorded in BASELINE.md.  See BASELINE_REF_HYPEREDGES_PER_SEC below.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def _probe_backend(timeout_s: float) -> None:
+    """Fail fast if device discovery hangs (e.g. the TPU tunnel is down).
+
+    Backend init retries forever when the tunneled TPU is unreachable, which
+    would hang this process indefinitely; probing in a subprocess with a
+    timeout converts that into a quick, explicit failure.  Skipped when the
+    platform is already forced to CPU.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return
+    code = "import jax; jax.devices()"
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device discovery did not complete in {timeout_s:.0f}s "
+              "— TPU backend unreachable (tunnel down?); aborting instead of "
+              "hanging.", file=sys.stderr)
+        sys.exit(2)
+    except subprocess.CalledProcessError:
+        pass  # odd probe failure; let the real init surface the error
 
 # measured by scripts/baseline_torch.py (reference Modules + reference
 # negative-sampling semantics, torch CPU, batch 96): see BASELINE.md
@@ -36,7 +60,11 @@ K_LIST = (2, 3, 4, 5)
 
 
 def main():
+    _probe_backend(float(os.environ.get("MATCHA_TPU_PROBE_TIMEOUT", 600)))
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # this jax distro ignores the env var; force via config (see conftest)
+        jax.config.update("jax_platforms", "cpu")
     # persistent executable cache: repeat bench invocations skip compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
