@@ -60,7 +60,7 @@ def phase2_propose():
     return ok
 
 
-def phase3_bench():
+def phase3_bench(script="bench.py", label="bench"):
     results = {}
     for fuse, prop in (("0", "xla"), ("1", "xla"), ("0", "pallas"),
                        ("1", "pallas")):
@@ -68,13 +68,14 @@ def phase3_bench():
         env["MATCHA_FUSE_TAIL"] = fuse
         env["MATCHA_PROPOSE"] = prop
         t0 = time.time()
-        out = subprocess.run(
-            [sys.executable, os.path.join(HERE, "..", "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600)
+        path = (os.path.join(HERE, "..", script) if script == "bench.py"
+                else os.path.join(HERE, script))
+        out = subprocess.run([sys.executable, path], env=env,
+                             capture_output=True, text=True, timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
         val = json.loads(line[-1])["value"] if line else None
         results[(fuse, prop)] = val
-        print(f"[bench] FUSE_TAIL={fuse} PROPOSE={prop}: "
+        print(f"[{label}] FUSE_TAIL={fuse} PROPOSE={prop}: "
               f"{val and f'{val:,.0f} he/s'} ({time.time() - t0:.0f}s)")
         if not line:
             print(out.stderr[-1500:])
@@ -84,7 +85,7 @@ def phase3_bench():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
-    ap.add_argument("--only", choices=["tail", "propose", "bench"])
+    ap.add_argument("--only", choices=["tail", "propose", "bench", "bench100"])
     args = ap.parse_args()
     if args.only in (None, "tail"):
         print("=== phase 1: fused classifier tail ===")
@@ -93,8 +94,11 @@ def main():
         print("=== phase 2: fused proposal kernel ===")
         print("OK" if phase2_propose() else "FAILED")
     if not args.skip_bench and args.only in (None, "bench"):
-        print("=== phase 3: bench A/B ===")
+        print("=== phase 3: bench A/B (1 Mb) ===")
         phase3_bench()
+    if not args.skip_bench and args.only in (None, "bench100"):
+        print("=== phase 4: bench A/B (100 kb) ===")
+        phase3_bench(script="bench_100kb.py", label="bench100")
 
 
 if __name__ == "__main__":
