@@ -754,7 +754,10 @@ def hyperedge_attention(x, ln, wq, wk, wv, fw, fb, n_head: int,
     x: (E, L, d); ln: (6, d) packed [qg qb kg kb vg vb]; wq/wk/wv: (d, h*dk);
     fw: (h*dk, d); fb: (d,).  Returns (E, L, d)."""
     if use_pallas:
-        fwd = _fwd_pallas_fm if _ATTN_IMPL == "fm" else _fwd_pallas
+        # feature-major blocks put edges on the TPU lane axis, where Mosaic
+        # needs 128-multiples; fall back to the lane-major kernel otherwise
+        use_fm = _ATTN_IMPL == "fm" and x.shape[0] % 128 == 0
+        fwd = _fwd_pallas_fm if use_fm else _fwd_pallas
         return fwd(x, ln, wq, wk, wv, fw, fb, n_head=n_head,
                    diag_mask=diag_mask)
     return _fwd_xla(x, ln, wq, wk, wv, fw, fb, n_head=n_head,
@@ -770,7 +773,8 @@ def _vjp_fwd(x, ln, wq, wk, wv, fw, fb, n_head, diag_mask, use_pallas):
 def _vjp_bwd(n_head, diag_mask, use_pallas, res, g):
     x, ln, wq, wk, wv, fw, fb = res
     if use_pallas:
-        bwd = _bwd_pallas_fm if _ATTN_IMPL == "fm" else _bwd_pallas
+        use_fm = _ATTN_IMPL == "fm" and x.shape[0] % 128 == 0
+        bwd = _bwd_pallas_fm if use_fm else _bwd_pallas
         return bwd(x, ln, wq, wk, wv, fw, fb, g, n_head=n_head,
                    diag_mask=diag_mask)
     # recompute-based backward through the XLA reference formulation

@@ -98,8 +98,10 @@ def pair_cooccurrence(inc: PaddedIncidence, edge_weight: jnp.ndarray,
     w = jnp.repeat(edge_weight, k * k)
     w = jnp.where((u == 0) | (v == 0) | (u == v), 0.0, w)
     n1 = num_nodes + 1
-    flat = jnp.zeros((n1 * n1,), edge_weight.dtype).at[u * n1 + v].add(w)
-    return flat.reshape(n1, n1)
+    # 2-D scatter, not a flattened u*n1+v key: the flat key overflows int32
+    # (members' dtype) once n1 > ~46k (100 kb all-genome scale), silently
+    # corrupting weights for callers that bypass cooccurrence_csr's size cap
+    return jnp.zeros((n1, n1), edge_weight.dtype).at[u, v].add(w)
 
 
 def edge_sddmm(inc: PaddedIncidence, node_feats: jnp.ndarray) -> jnp.ndarray:

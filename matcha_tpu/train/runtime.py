@@ -646,7 +646,11 @@ class Trainer:
         batcher = BucketedBatcher(train_buckets, batch_size,
                                   num_batch_per_iter, seed=seed)
         max_k = max(train_buckets.keys())
-        best = 0.0
+        # -inf, not 0.0: classification AUPRC is >= 0 so the first epoch
+        # always checkpoints either way (matching ref Code/main.py:313-322's
+        # best=0 + >=), while regress mode substitutes -bce (always negative)
+        # for the NaN AUPRC and needs a floor below any achievable loss
+        best = -float("inf")
         history = []
         ckpt_mgr = None
         if checkpoint_path and checkpoint_format == "orbax":
@@ -685,9 +689,9 @@ class Trainer:
             if np.isnan(val_aupr):
                 # regress mode: AUROC/AUPRC are undefined (labels all 1);
                 # NaN >= best is never true, so no checkpoint would ever be
-                # written — select on validation loss instead
+                # written — select on validation loss instead (best starts
+                # at -inf, so -bce-based selection engages from epoch 0)
                 val_aupr = -float(ev["bce"])
-                best = min(best, 0.0) if best == 0.0 else best
             if checkpoint_path and val_aupr >= best:
                 best = val_aupr
                 if ckpt_mgr is not None:

@@ -56,6 +56,35 @@ def test_regress_mode_checkpoints(tmp_path):
     assert os.path.exists(ckpt)
 
 
+def test_regress_nan_auprc_checkpoints_on_loss(tmp_path):
+    """Force the NaN-AUPRC path directly (sklearn happens to return
+    auprc=1.0 for all-positive labels, so the regress fit above never hits
+    it): checkpoint selection must fall back to -bce with a -inf floor, so
+    the best-loss epoch is the one written."""
+    from matcha_tpu.train.runtime import load_checkpoint
+
+    genome, dims, params, frozen = _build_problem(dim=16, n_head=4, chroms=2)
+    rng = np.random.default_rng(4)
+    buckets = _random_buckets(genome, rng, n_edges=64, k_list=(2,))
+    trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
+                      TrainSettings(alpha=1.0, beta=0.0))
+    nan_m = {"auroc": float("nan"), "auprc": float("nan"), "acc": 0.0}
+    bces = iter([0.9, 0.3, 0.5])   # epoch 1 is the best-loss epoch
+
+    def fake_eval(*a, **k):
+        return {"metrics": {2: dict(nan_m), "all": dict(nan_m)},
+                "bce": next(bces), "recon": 0.0}
+
+    trainer.eval_epoch = fake_eval
+    ckpt = str(tmp_path / "model.chkpt")
+    trainer.fit({2: buckets[2]}, {2: buckets[2]}, epochs=3, batch_size=16,
+                num_batch_per_iter=2, checkpoint_path=ckpt,
+                log=lambda *_: None)
+    import os
+    assert os.path.exists(ckpt)
+    assert load_checkpoint(ckpt, full=True)["epoch"] == 1
+
+
 def test_eval_small_bucket_under_mesh():
     """Under a data mesh the eval batch must split evenly over the chips: a
     10-row bucket previously crashed _place_batch with an indivisible dim,
