@@ -14,6 +14,20 @@ vs_baseline compares against the PyTorch reference implementation executing
 its own training step on this host's CPU (the only hardware the reference
 supports here — it has no TPU path), measured by scripts/baseline_torch.py
 and recorded in BASELINE.md.  See BASELINE_REF_HYPEREDGES_PER_SEC below.
+
+Robustness (round-2 lesson: one flaky tunnel turned a whole round of perf
+work into unverified claims):
+  * the TPU probe retries in SHORT attempts spread over the budget instead
+    of one long wait, so a tunnel that flaps mid-window is still caught;
+  * every stage (probe / devices / compile / each chunk) is appended to
+    BENCH_PARTIAL.json next to this script, so a mid-run drop leaves
+    captured evidence even when no final JSON line is printed.
+
+The benched configuration is the SHIPPED configuration: knobs resolve
+through matcha_tpu.pipeline.resolve_perf — exactly what
+`python -m matcha_tpu train` uses — with env overrides for A/B runs
+(MATCHA_DTYPE / MATCHA_PALLAS / MATCHA_TOKEN_STREAM / MATCHA_PROPOSE /
+MATCHA_FUSE_TAIL / MATCHA_PRNG / MATCHA_MAX_TRIALS).
 """
 
 import json
@@ -22,32 +36,65 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 import numpy as np
 
+PARTIAL_PATH = os.environ.get("MATCHA_BENCH_PARTIAL",
+                              os.path.join(_HERE, "BENCH_PARTIAL.json"))
+_partial = {"stages": [], "chunk_rates": []}
 
-def _probe_backend(timeout_s: float) -> None:
+
+def _mark(stage: str, **kv) -> None:
+    """Append a stage marker to the partial-evidence artifact (flushed to
+    disk immediately so a mid-run tunnel drop still leaves a record)."""
+    _partial["stages"].append({"stage": stage, "t": round(time.time(), 1),
+                               **kv})
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(_partial, f, indent=1)
+    except OSError:
+        pass
+    print(f"# bench stage: {stage} {kv if kv else ''}", file=sys.stderr)
+
+
+def _probe_backend(budget_s: float) -> None:
     """Fail fast if device discovery hangs (e.g. the TPU tunnel is down).
 
-    Backend init retries forever when the tunneled TPU is unreachable, which
-    would hang this process indefinitely; probing in a subprocess with a
-    timeout converts that into a quick, explicit failure.  Skipped when the
-    platform is already forced to CPU.
+    Backend init retries forever when the tunneled TPU is unreachable, so we
+    probe in a subprocess.  Short attempts (90 s) repeated across the budget
+    beat one long wait: a tunnel that comes back mid-window is caught by the
+    next attempt.  Skipped when the platform is already forced to CPU.
     """
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         return
-    code = "import jax; jax.devices()"
-    try:
-        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                       check=True, capture_output=True)
-    except subprocess.TimeoutExpired:
-        print(f"bench: device discovery did not complete in {timeout_s:.0f}s "
-              "— TPU backend unreachable (tunnel down?); aborting instead of "
-              "hanging.", file=sys.stderr)
-        sys.exit(2)
-    except subprocess.CalledProcessError:
-        pass  # odd probe failure; let the real init surface the error
+    code = "import jax; print(len(jax.devices()))"
+    attempt_s = min(90.0, budget_s)
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run([sys.executable, "-c", code],
+                                 timeout=attempt_s, check=True,
+                                 capture_output=True, text=True)
+            _mark("probe_ok", attempt=attempt,
+                  devices=int(out.stdout.strip().splitlines()[-1]))
+            return
+        except subprocess.TimeoutExpired:
+            _mark("probe_timeout", attempt=attempt, attempt_s=attempt_s)
+        except subprocess.CalledProcessError as e:
+            _mark("probe_error", attempt=attempt,
+                  stderr=(e.stderr or "")[-300:])
+            return  # odd probe failure; let the real init surface the error
+        if time.time() + attempt_s > deadline:
+            _mark("probe_gave_up", attempts=attempt, budget_s=budget_s)
+            print(f"bench: no TPU device discovery in {attempt} attempts "
+                  f"over {budget_s:.0f}s — tunnel down; aborting instead of "
+                  "hanging.", file=sys.stderr)
+            sys.exit(2)
+        time.sleep(5)
 
 # measured by scripts/baseline_torch.py (reference Modules + reference
 # negative-sampling semantics, torch CPU, batch 96): see BASELINE.md
@@ -60,47 +107,45 @@ K_LIST = (2, 3, 4, 5)
 
 
 def main():
+    _mark("start", batch=BATCH)
     _probe_backend(float(os.environ.get("MATCHA_TPU_PROBE_TIMEOUT", 600)))
     import jax
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         # this jax distro ignores the env var; force via config (see conftest)
         jax.config.update("jax_platforms", "cpu")
-    # persistent executable cache: repeat bench invocations skip compilation
-    jax.config.update("jax_compilation_cache_dir", "/tmp/matcha_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # "rbg" = hardware RNG — much cheaper random bits (dropout masks, sampler
-    # trials) than threefry; same statistical quality, default on TPU.
-    jax.config.update("jax_default_prng_impl",
-                      os.environ.get("MATCHA_PRNG", "rbg"))
-    import jax.numpy as jnp
-    from matcha_tpu.utils import warm_loop_runtime
-    warm_loop_runtime()   # overlap the backend's one-time loop-runtime init
+
+    # resolve knobs exactly as `python -m matcha_tpu train` does, then let
+    # env vars override individual ones for A/B runs
+    from matcha_tpu.config import Config
+    from matcha_tpu.pipeline import resolve_perf
+    cfg = Config(
+        compute_dtype=os.environ.get("MATCHA_DTYPE", "auto"),
+        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "auto"),
+        propose_impl=os.environ.get("MATCHA_PROPOSE", "auto"),
+        fuse_tail=os.environ.get("MATCHA_FUSE_TAIL_MODE", "auto"),
+        prng_impl=os.environ.get("MATCHA_PRNG", "auto"),
+        use_pallas_attention=("off" if os.environ.get("MATCHA_PALLAS") == "0"
+                              else "auto"))
+    perf = resolve_perf(cfg)   # applies cache/PRNG/fuse-tail + loop warmup
+    _mark("perf_resolved", backend=jax.default_backend(), **perf)
+
     from __graft_entry__ import _build_problem, _random_buckets
     from matcha_tpu.sampler.bloom import build_bloom_dict
     from matcha_tpu.sampler.negative import ChromTable
     from matcha_tpu.train.runtime import Trainer, TrainSettings
 
     genome, dims, params, frozen = _build_problem(dim=64, n_head=8, chroms=23)
-    # default = the validated fast configuration: bf16 compute (f32 master
-    # params; e2e AUROC parity checked on TPU) + fused Pallas attention.
-    # Override with MATCHA_DTYPE=float32 / MATCHA_PALLAS=0.
-    if os.environ.get("MATCHA_DTYPE", "bfloat16") == "bfloat16":
-        dims = dims._replace(compute_dtype="bfloat16")
-    if os.environ.get("MATCHA_PALLAS", "1") != "0" and jax.default_backend() != "cpu":
-        dims = dims._replace(use_pallas_attention=True)
+    dims = dims._replace(compute_dtype=perf["compute_dtype"],
+                         use_pallas_attention=perf["use_pallas_attention"])
     rng = np.random.default_rng(0)
     buckets = _random_buckets(genome, rng, n_edges=max(4 * BATCH, 20_000),
                               k_list=K_LIST)
     blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
-    # With the feature-major attention kernel, "merged" (per-k attention, no
-    # padded L=5 pairs for k=3/4) overtook "hybrid": 7.37M vs 6.74M he/s
-    # steady (hybrid had won at round-1 kernel costs).  Hybrid remains the
-    # Trainer default for its ~3x faster cold compile.
     settings = TrainSettings(
         alpha=1.0, beta=0.001, neg_num=3,
         max_trials=int(os.environ.get("MATCHA_MAX_TRIALS", 8)),
-        token_stream=os.environ.get("MATCHA_TOKEN_STREAM", "merged"),
-        propose_impl=os.environ.get("MATCHA_PROPOSE", "xla"))
+        token_stream=perf["token_stream"],
+        propose_impl=perf["propose_impl"])
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
                       settings, blooms=blooms)
     # device-resident epochs: data pinned in HBM, permutations drawn on
@@ -114,8 +159,7 @@ def main():
     # chunk 0 pays compile + the backend's one-time loop-runtime init
     t0 = time.time()
     jax.device_get(trainer.train_epoch_device_launch()["bce"])
-    print(f"# chunk 0: warmup (compile + backend init) "
-          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    _mark("warmup_done", seconds=round(time.time() - t0, 1))
 
     # steady state, pipelined: chunk i+1 executes while chunk i's aux
     # fetches — the same overlap any real trainer gets from async dispatch
@@ -129,18 +173,22 @@ def main():
         now = time.time()
         rate = per_step * STEPS_PER_CHUNK / (now - t_prev)
         rates.append(rate)
-        print(f"# chunk {chunk}: {rate:,.0f} hyperedges/s "
-              f"(elapsed {now - t_prev:.3f}s)", file=sys.stderr)
+        _partial["chunk_rates"].append(round(rate))
+        _mark(f"chunk_{chunk}", rate=round(rate),
+              elapsed=round(now - t_prev, 3))
         t_prev = now
         pending = nxt
 
     value = float(max(rates))
-    print(json.dumps({
+    result = {
         "metric": "hyperedges_scored_per_sec_per_chip_dim64_k2-5",
         "value": value,
         "unit": "hyperedges/s",
         "vs_baseline": round(value / BASELINE_REF_HYPEREDGES_PER_SEC, 2),
-    }))
+    }
+    _partial["result"] = result
+    _mark("done")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -46,10 +46,20 @@ class Config:
     seed: int = 0
 
     # --- TPU-framework knobs (no reference equivalent) ---
+    # "auto" knobs resolve to the BENCHED configuration on TPU (bf16 compute
+    # with f32 master params, merged token stream, Pallas kernels, rbg PRNG,
+    # persistent compile cache) and to the conservative CPU defaults
+    # elsewhere — `python -m matcha_tpu train` and bench.py run the same
+    # system (see pipeline.resolve_perf).
     table_dtype: str = "float32"       # frozen feature/target table dtype ("bfloat16" to halve HBM)
-    compute_dtype: str = "float32"     # activation/matmul dtype ("bfloat16" = mixed precision)
+    compute_dtype: str = "auto"        # "auto" (bf16 on TPU) | "float32" | "bfloat16"
     use_pallas_attention: str = "auto" # "auto" (TPU only) | "on" | "off"
-    max_neg_trials: int = 3            # parallel trial rounds (ref loop is unbounded)
+    token_stream: str = "auto"         # "auto" (merged on TPU, hybrid on CPU) | "padded" | "merged" | "hybrid"
+    propose_impl: str = "auto"         # sampler phase-1 proposal: "auto" | "xla" | "pallas"
+    fuse_tail: str = "auto"            # fused per-token tail kernel: "auto" | "on" | "off"
+    prng_impl: str = "auto"            # "auto" (rbg on TPU) | "rbg" | "threefry2x32"
+    compile_cache_dir: str = "/tmp/matcha_jax_cache"  # "" disables
+    max_neg_trials: int = 8            # parallel trial rounds (ref loop is unbounded; 8 = benched value)
     bloom_error_rate: float = 1e-3     # matches pybloom_live err in ref Code/utils.py:83-85
     mesh_data: int = 1                 # data-parallel axis size
     mesh_model: int = 1                # model-parallel (node-shard) axis size

@@ -88,6 +88,18 @@ def _fuse_tail_enabled() -> bool:
     return _FUSE_TAIL
 
 
+def configure_fuse_tail(enabled: bool) -> None:
+    """Programmatic equivalent of MATCHA_FUSE_TAIL (config knob
+    ``fuse_tail``).  Must run before the first forward trace; flipping the
+    gate after it has been consulted would mix fused and XLA tails (with
+    different dropout placement) across retraces, so that raises."""
+    global _FUSE_TAIL
+    if _FUSE_TAIL is not None and _FUSE_TAIL != bool(enabled):
+        raise RuntimeError("fuse_tail gate already consulted with value "
+                           f"{_FUSE_TAIL}; set it before the first forward")
+    _FUSE_TAIL = bool(enabled)
+
+
 # --------------------------------------------------------------------- init
 def init_model(key: jax.Array, dims: ModelDims, chrom_sizes: List[int],
                embedding_mode: str = "corrcoef-ae",

@@ -33,6 +33,42 @@ from matcha_tpu.train.runtime import (Trainer, TrainSettings,
                                       save_model_bundle)
 
 
+# "auto" resolutions for the TPU perf knobs — one place, shared by run_train
+# and bench.py so the benched system IS the shipped system (the round-2 gap:
+# bench ran merged-stream bf16 with a persistent compile cache while the CLI
+# ran hybrid f32 with none).  Values validated on real TPU hardware; see
+# BASELINE.md "Round-3 TPU validation".
+_AUTO_TPU = {"compute_dtype": "bfloat16", "token_stream": "merged",
+             "propose_impl": "xla", "fuse_tail": "off", "prng_impl": "rbg"}
+_AUTO_CPU = {"compute_dtype": "float32", "token_stream": "hybrid",
+             "propose_impl": "xla", "fuse_tail": "off",
+             "prng_impl": "threefry2x32"}
+
+
+def resolve_perf(config: Config, *, apply: bool = True) -> dict:
+    """Resolve the config's "auto" perf knobs for the current backend and
+    (with ``apply``) install the process-global ones: persistent compile
+    cache, default PRNG impl, fuse-tail gate, loop-runtime warmup."""
+    on_tpu = jax.default_backend() != "cpu"
+    auto = _AUTO_TPU if on_tpu else _AUTO_CPU
+    r = {k: (auto[k] if getattr(config, k) == "auto" else getattr(config, k))
+         for k in auto}
+    r["use_pallas_attention"] = (on_tpu
+                                 if config.use_pallas_attention == "auto"
+                                 else config.use_pallas_attention == "on")
+    if apply:
+        from matcha_tpu.models.hypersagnn import configure_fuse_tail
+        from matcha_tpu.utils import enable_compile_cache, warm_loop_runtime
+        enable_compile_cache(config.compile_cache_dir)
+        jax.config.update("jax_default_prng_impl", r["prng_impl"])
+        if config.fuse_tail != "auto" or "MATCHA_FUSE_TAIL" not in os.environ:
+            # under "auto" an explicit MATCHA_FUSE_TAIL env (A/B scripts,
+            # kernel validation) wins over the resolved default
+            configure_fuse_tail(r["fuse_tail"] == "on")
+        warm_loop_runtime()
+    return r
+
+
 def run_process(config: Config) -> GenomeBins:
     """Ingest: genome binning + cluster parse + mcool contacts -> temp_dir."""
     genome = GenomeBins.from_chrom_sizes_file(
@@ -95,15 +131,12 @@ def run_train(config: Config, *, log=print,
         neg_num=config.neg_num, seed=config.seed)
     log(f"train sizes: {store.train_sizes()}")
 
-    if config.use_pallas_attention == "auto":
-        use_pallas = jax.default_backend() != "cpu"   # TPU (incl. axon plugin)
-    else:
-        use_pallas = config.use_pallas_attention == "on"
+    perf = resolve_perf(config)
     dims = ModelDims(dim=config.embed_dim, n_head=config.n_head,
                      num_chroms=genome.num_chroms,
                      num_nodes=genome.num_nodes,
-                     compute_dtype=config.compute_dtype,
-                     use_pallas_attention=use_pallas)
+                     compute_dtype=perf["compute_dtype"],
+                     use_pallas_attention=perf["use_pallas_attention"])
     chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
     params = init_model(jax.random.PRNGKey(config.seed), dims, chrom_sizes)
     import jax.numpy as jnp
@@ -127,7 +160,9 @@ def run_train(config: Config, *, log=print,
                        min_distance=config.min_distance,
                        max_trials=config.max_neg_trials,
                        learning_rate=config.learning_rate,
-                       weight_decay=config.weight_decay)
+                       weight_decay=config.weight_decay,
+                       token_stream=perf["token_stream"],
+                       propose_impl=perf["propose_impl"])
     trainer = Trainer(params, frozen, dims, chrom_table, s1, blooms=None,
                       seed=config.seed, mesh=mesh)
     trainer.fit(store.train, store.test,

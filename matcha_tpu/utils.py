@@ -73,6 +73,23 @@ def profile_trace(log_dir: str | None):
         yield
 
 
+_compile_cache_enabled = False
+
+
+def enable_compile_cache(cache_dir: str = "/tmp/matcha_jax_cache") -> None:
+    """Persistent XLA executable cache: repeat invocations (bench reruns,
+    restarted training jobs) skip the multi-minute TPU compile.  Library
+    code calls this from ``run_train``/``Trainer`` so the SHIPPED path gets
+    the same warm-start as the benched one (it was script-only before).
+    Idempotent; empty ``cache_dir`` disables."""
+    global _compile_cache_enabled
+    if _compile_cache_enabled or not cache_dir:
+        return
+    _compile_cache_enabled = True
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 _loop_runtime_warmed = False
 
 
