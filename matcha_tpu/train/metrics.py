@@ -31,10 +31,11 @@ def _one(yt, yp) -> Dict[str, float]:
             "auroc": float(roc_auc_score(yt, yp)),
             "auprc": float(average_precision_score(yt, yp)),
             "acc": float(((yp >= 0.5) == yt).mean()),
+            "n": int(yt.size),
         }
     except ValueError:
         return {"auroc": float("nan"), "auprc": float("nan"),
-                "acc": float("nan")}
+                "acc": float("nan"), "n": int(yt.size)}
 
 
 def format_metrics(metrics: Dict) -> Tuple[str, str, str]:

@@ -271,6 +271,58 @@ def _batch_loss_merged(params, frozen, dims, table, blooms, settings,
     return loss, aux
 
 
+def _eval_mixed_loss(params, frozen, dims, table, blooms, settings,
+                     ks: tuple, batch, key, node_table):
+    """One mixed-size eval batch, the reference's eval semantics exactly
+    (ref Code/main.py:212-247): rows drawn from the POOLED test set
+    (:216-217), every row padded to the global max size — with millions of
+    k-mers per size, essentially every reference batch of 96 contains a
+    max-size row, so pad_sequence pads all rows to max_k and the pads
+    participate as attention keys (the never-applied-mask quirk) — negatives
+    per row within its true size class, weighted BCE (:56).
+
+    batch: (x (B, L) int32 pad-0, sizes (B,) int32, w (B,) f32).
+
+    TPU-native form: attention is per-row, so one (B*(1+neg), L) forward
+    scores all sizes at once; negative sampling runs per k over the FULL
+    batch (static shapes, <=4 unrolled k's) and a per-row select keeps each
+    row's own-size negatives.  The off-size sampler rows are discarded —
+    ~4x sampler work, irrelevant at eval's 104-batch scale.
+    """
+    x, sizes, w = batch
+    b, L = x.shape
+    neg_num = settings.neg_num
+    key, k_fwd = jax.random.split(key)
+    # sampler layout: neg row r corresponds to pos row r % B (tile order)
+    sizes_neg = jnp.tile(sizes, neg_num)
+    # stage-1 semantics (blooms None): negatives are positive copies
+    neg = jnp.tile(x, (neg_num, 1))
+    if blooms is not None:
+        from matcha_tpu.sampler.negative import sample_negatives
+        for k in ks:
+            key, kk = jax.random.split(key)
+            neg_k = sample_negatives(
+                kk, x[:, :k], table, settings.min_distance, blooms[k],
+                neg_num=neg_num, max_trials=settings.max_trials,
+                extra_rounds=settings.extra_rounds,
+                max_probes=(settings.max_probes_k2 if k == 2
+                            else settings.max_probes),
+                hard_ratio=settings.hard_ratio,
+                chrom_bounds=settings.chrom_bounds,
+                propose_impl=settings.propose_impl)
+            neg_k = jnp.pad(neg_k, ((0, 0), (0, L - k)))
+            neg = jnp.where((sizes_neg == k)[:, None], neg_k, neg)
+    x_all = jnp.concatenate([x, neg], axis=0)
+    logits, recon = forward(params, frozen, dims, x_all, key=k_fwd,
+                            train=False, return_recon=True,
+                            node_table=node_table)
+    y = jnp.concatenate([jnp.ones(b), jnp.zeros(b * neg_num)])[:, None]
+    ww = jnp.concatenate([w.reshape(-1), jnp.ones(b * neg_num)])[:, None]
+    bce = jnp.mean(ww * optax.sigmoid_binary_cross_entropy(logits, y))
+    return {"bce": bce, "recon": recon,
+            "pred": jax.nn.sigmoid(logits).reshape(-1)}
+
+
 def labels_for_batch(batch, settings: TrainSettings):
     """Host-side reconstruction of the per-step label/size vectors matching
     batch_loss's concatenated predictions."""
@@ -440,11 +492,31 @@ class Trainer:
                                       self.chrom_table, self.blooms or {},
                                       self.blooms is not None)
 
+        @partial(jax.jit, static_argnames=("ks", "has_blooms"))
+        def eval_mixed_fn(state, stacked, frozen, table, blooms, ks,
+                          has_blooms):
+            def eval_step(state: TrainState, batch):
+                key, k_loss = jax.random.split(state.key)
+                node_table = encode_node_table(state.params, frozen, dims_c,
+                                               train=False)
+                aux = _eval_mixed_loss(state.params, frozen, dims_c, table,
+                                       blooms if has_blooms else None,
+                                       settings_c, ks, batch, k_loss,
+                                       node_table)
+                return TrainState(state.params, state.opt_state, key), aux
+            return jax.lax.scan(eval_step, state, stacked)
+
         def run_eval_epoch(state, stacked):
             with using_active_mesh(mesh):
                 return eval_epoch_fn(state, stacked, self.frozen,
                                      self.chrom_table, self.blooms or {},
                                      self.blooms is not None)
+
+        def run_eval_mixed(state, stacked, ks):
+            with using_active_mesh(mesh):
+                return eval_mixed_fn(state, stacked, self.frozen,
+                                     self.chrom_table, self.blooms or {},
+                                     ks, self.blooms is not None)
 
         def run_device_epoch(state, full, steps, batch):
             with using_active_mesh(mesh):
@@ -454,6 +526,7 @@ class Trainer:
 
         self._train_epoch_fn = run_train_epoch
         self._eval_epoch_fn = run_eval_epoch
+        self._eval_mixed_fn = run_eval_mixed
         self._device_epoch_fn = run_device_epoch
         self._train_epoch_jit = train_epoch_fn     # raw jitted fns (lowering
         self._device_epoch_jit = device_epoch_fn   # / AOT-compile hooks)
@@ -575,18 +648,87 @@ class Trainer:
         return self._epoch_result(aux, stacked, elapsed=time.time() - t0)
 
     def eval_epoch(self, test_buckets, batch_size: int = 96,
-                   max_samples: int = 10_000, seed: int = 0):
-        """Mirror of the reference eval (ref Code/main.py:200-258): subsample,
-        generate negatives with the SAME filters, score."""
-        rng = np.random.default_rng(seed)
-        # a tiny size bucket can land zero rows in the 80/20 test split
-        # (e.g. 2 k=5-mers total) — skip it, as the reference's mixed-size
-        # subsample implicitly does (ref Code/main.py:216-217)
+                   max_samples: int = 10_000, seed: int = 0,
+                   indices: Optional[np.ndarray] = None,
+                   return_pred: bool = False):
+        """Reference eval exactly (ref Code/main.py:200-258): draw
+        ``max_samples`` rows from the MIXED-size pooled test set (:216-217),
+        score in ``batch_size`` slices with per-row own-size negatives, pool
+        the predictions for size-stratified metrics.  Checkpoint selection
+        keys off these metrics, so the mixed draw (pool-proportional per-k
+        counts) matches the reference's selected epochs on skewed size
+        distributions.
+
+        indices: optional explicit draw (positions into the sorted-by-k
+        pooled test set) — the parity-harness hook for feeding both
+        frameworks the identical subsample.
+
+        Regress mode keeps the per-k path (its pairwise comparisons need
+        same-size pairs)."""
         test_buckets = {k: v for k, v in test_buckets.items()
                         if len(v[0]) > 0}
         if not test_buckets:
             return {"bce": float("nan"), "recon": float("nan"),
                     "metrics": {}}
+        if self.settings.task_mode == "regress":
+            return self._eval_epoch_perk(test_buckets, batch_size,
+                                         max_samples, seed)
+        rng = np.random.default_rng(seed)
+        ks = tuple(sorted(test_buckets))
+        L = max(ks)
+        xs, szs, ws = [], [], []
+        for k, (e, w) in sorted(test_buckets.items()):
+            e = np.asarray(e, np.int32)
+            xs.append(np.pad(e, ((0, 0), (0, L - k))))
+            szs.append(np.full(len(e), k, np.int32))
+            ws.append(np.asarray(w, np.float32).reshape(-1))
+        xs = np.concatenate(xs)
+        szs = np.concatenate(szs)
+        ws = np.concatenate(ws)
+        take = min(len(xs), max_samples)
+        nd = int(self.mesh.shape["data"]) if self.mesh is not None else 1
+        # under a data mesh the batch axis must split evenly over the chips
+        bs = (min(batch_size, take) // nd) * nd
+        if bs == 0:
+            return {"bce": float("nan"), "recon": float("nan"),
+                    "metrics": {}}
+        n_batches = take // bs
+        if indices is None:
+            indices = rng.permutation(len(xs))[:n_batches * bs]
+        else:
+            indices = np.asarray(indices)[:n_batches * bs]
+        sizes_drawn = szs[indices].reshape(n_batches, bs)
+        stacked = (xs[indices].reshape(n_batches, bs, L),
+                   sizes_drawn,
+                   ws[indices].reshape(n_batches, bs))
+        stacked = self._place_batch(stacked)
+        self.state, aux = self._eval_mixed_fn(self.state, stacked, ks)
+        aux = self._gather_aux(aux)
+        # pooled metrics over all batches (ref :249-255); per batch the
+        # prediction rows are [bs positives; neg_num x bs negatives]
+        neg_num = self.settings.neg_num
+        y = np.tile(np.concatenate([np.ones(bs), np.zeros(bs * neg_num)]),
+                    n_batches)
+        size_all = np.concatenate(
+            [np.concatenate([sb, np.tile(sb, neg_num)])
+             for sb in sizes_drawn])
+        metrics = size_stratified_metrics(y, aux["pred"].reshape(-1),
+                                          size_all)
+        out = {"bce": float(aux["bce"].mean()),
+               "recon": float(aux["recon"].mean()),
+               "metrics": metrics,
+               "fallback_bloom_rate": 0.0, "fallback_orig_rate": 0.0}
+        if return_pred:
+            # parity-harness hook: per-row predictions in scan order
+            # ([bs pos; neg_num x bs neg] per batch)
+            out["pred"] = np.asarray(aux["pred"]).reshape(-1)
+        return out
+
+    def _eval_epoch_perk(self, test_buckets, batch_size: int,
+                         max_samples: int, seed: int):
+        """Per-k aligned eval (regress mode): per-size batches, the pairwise
+        comparison needs same-size pos/neg pairs."""
+        rng = np.random.default_rng(seed)
         per_k = max(1, max_samples // max(len(test_buckets), 1))
         nd = int(self.mesh.shape["data"]) if self.mesh is not None else 1
         plan = {}
