@@ -59,7 +59,10 @@ def resolve_perf(config: Config, *, apply: bool = True) -> dict:
     if apply:
         from matcha_tpu.models.hypersagnn import configure_fuse_tail
         from matcha_tpu.utils import enable_compile_cache, warm_loop_runtime
-        enable_compile_cache(config.compile_cache_dir)
+        if on_tpu:
+            # TPU compiles are the minutes-long ones worth caching; CPU AOT
+            # entries are machine-feature-pinned and noisy across hosts
+            enable_compile_cache(config.compile_cache_dir)
         jax.config.update("jax_default_prng_impl", r["prng_impl"])
         if config.fuse_tail != "auto" or "MATCHA_FUSE_TAIL" not in os.environ:
             # under "auto" an explicit MATCHA_FUSE_TAIL env (A/B scripts,
@@ -118,8 +121,14 @@ def run_merge_kmers(config: Config, *, shard_count: int) -> Dict:
 def run_train(config: Config, *, log=print,
               stage1_epochs: Optional[int] = None,
               stage2_epochs: Optional[int] = None,
-              embeddings_path: Optional[str] = None):
-    """Two-stage training (ref Code/main.py module body :516-685)."""
+              embeddings_path: Optional[str] = None,
+              resume: bool = False):
+    """Two-stage training (ref Code/main.py module body :516-685).
+
+    resume: continue from the per-epoch resume snapshots in temp_dir
+    (exact trajectory — params, optimizer, RNG key, epoch; a completed
+    stage is skipped automatically because its snapshot is at its last
+    epoch)."""
     temp_dir = config.temp_dir
     genome = GenomeBins.load(temp_dir)
     intra, inter = load_contacts(temp_dir)
@@ -171,7 +180,9 @@ def run_train(config: Config, *, log=print,
                 batch_size=config.batch_size,
                 num_batch_per_iter=config.num_batch_per_iter,
                 checkpoint_path=ckpt, log=log, seed=config.seed,
-                metrics_logger=mlog, stage="stage1_recon")
+                metrics_logger=mlog, stage="stage1_recon",
+                resume_path=os.path.join(temp_dir, "resume_stage1"),
+                resume=resume)
 
     # ---- between stages: Bloom filters from the unlabeled set (ref :646-667)
     blooms = build_bloom_dict(store.unlabeled,
@@ -190,7 +201,9 @@ def run_train(config: Config, *, log=print,
         batch_size=config.batch_size,
         num_batch_per_iter=config.num_batch_per_iter,
         checkpoint_path=ckpt, log=log, seed=config.seed + 1,
-        metrics_logger=mlog, stage="stage2_classify")
+        metrics_logger=mlog, stage="stage2_classify",
+        resume_path=os.path.join(temp_dir, "resume_stage2"),
+        resume=resume)
 
     # ---- export artifacts (ref :681-685)
     if embeddings_path is None:
@@ -238,6 +251,9 @@ def main(argv=None):
                    help="kmers: this host's shard (0-based)")
     p.add_argument("--shard-count", type=int, default=None,
                    help="kmers/kmers-merge: total shards")
+    p.add_argument("--resume", action="store_true",
+                   help="train: continue from the per-epoch resume "
+                        "snapshots in temp_dir (exact trajectory)")
     args = p.parse_args(argv)
     if (args.shard_index is not None or args.shard_count is not None) \
             and args.stage not in ("kmers", "kmers-merge"):
@@ -258,7 +274,7 @@ def main(argv=None):
     if args.stage == "pretrain":
         run_pretrain(config, walk_mode=args.walk_mode)
     if args.stage in ("train", "all"):
-        run_train(config)
+        run_train(config, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -47,15 +47,24 @@ class OrbaxCheckpointer:
 
     # ------------------------------------------------------------------ save
     def save(self, step: int, params: Any, opt_state: Any = None,
-             epoch: Optional[int] = None) -> None:
-        """Async save of (params, opt_state, epoch) under `step`.  Returns
-        immediately; the write completes in the background (close() or the
-        next save joins it)."""
+             epoch: Optional[int] = None, key: Any = None,
+             best: Optional[float] = None) -> None:
+        """Async save of (params, opt_state, epoch[, key, best]) under
+        `step`.  Returns immediately; the write completes in the background
+        (close() or the next save joins it).  key/best enable exact
+        mid-stage resume (the trainer RNG key as raw uint32 words and the
+        running best-metric value, stored in the JSON meta)."""
+        import numpy as np
         ocp = self._ocp
         items = {"params": ocp.args.StandardSave(params)}
         if opt_state is not None:
             items["opt_state"] = ocp.args.StandardSave(opt_state)
         meta = {"epoch": -1 if epoch is None else int(epoch)}
+        if key is not None:
+            meta["key"] = np.asarray(jax.device_get(key),
+                                     np.uint32).tolist()
+        if best is not None:
+            meta["best"] = float(best)
         items["meta"] = ocp.args.JsonSave(meta)
         self.manager.save(step, args=ocp.args.Composite(**items))
 
@@ -88,6 +97,9 @@ class OrbaxCheckpointer:
         if like_opt_state is not None and self._has_item(step, "opt_state"):
             kwargs["opt_state"] = std_restore(like_opt_state)
         out = self.manager.restore(step, args=ocp.args.Composite(**kwargs))
+        # side-channel for resume: the full meta (epoch/key/best) of the
+        # step just restored
+        self.last_meta = dict(out["meta"])
         epoch = out["meta"].get("epoch", -1)
         return (out["params"], out.get("opt_state"),
                 None if epoch == -1 else epoch)

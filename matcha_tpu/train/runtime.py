@@ -767,7 +767,8 @@ class Trainer:
             metrics_logger=None, stage: str = "stage",
             profile_dir: Optional[str] = None,
             embeddings_path: Optional[str] = None,
-            checkpoint_format: str = "pickle"):
+            checkpoint_format: str = "pickle",
+            resume_path: Optional[str] = None, resume: bool = False):
         """One stage of the schedule; returns history.  Checkpoints when the
         largest size's validation AUPRC improves (ref Code/main.py:313-322).
 
@@ -777,6 +778,15 @@ class Trainer:
           "orbax"  — async sharded orbax checkpoint under checkpoint_path
             (a directory); each host writes its own shards, the save
             overlaps the next epoch — the multi-controller path
+
+        resume_path: write a FULL resume snapshot (params, optimizer state,
+          RNG key, epoch, running best) every epoch, in checkpoint_format.
+          With resume=True, restore the latest snapshot and continue — the
+          continued trajectory is EXACTLY the uninterrupted one: the
+          restored key resumes the RNG stream, the batcher (same seed) is
+          fast-forwarded through the completed epochs, and eval draws are
+          seeded per epoch.  The capability the reference lacks
+          (SURVEY §5.3/§5.4).
         """
         empty_ks = [k for k, v in train_buckets.items() if len(v[0]) == 0]
         if empty_ks:
@@ -795,10 +805,30 @@ class Trainer:
         best = -float("inf")
         history = []
         ckpt_mgr = None
+        resume_mgr = None
         if checkpoint_path and checkpoint_format == "orbax":
             from matcha_tpu.train.checkpoint import OrbaxCheckpointer
             ckpt_mgr = OrbaxCheckpointer(checkpoint_path)
-        for epoch in range(epochs):
+        if resume_path and checkpoint_format == "orbax":
+            from matcha_tpu.train.checkpoint import OrbaxCheckpointer
+            resume_mgr = OrbaxCheckpointer(resume_path)
+        start_epoch = 0
+        if resume and resume_path:
+            rc = self._load_resume(resume_path, resume_mgr)
+            if rc is not None:
+                params_r, opt_r, key_r, epoch_done, best_r = rc
+                self.state = TrainState(params_r, opt_r, key_r)
+                if best_r is not None:
+                    best = float(best_r)
+                start_epoch = int(epoch_done) + 1
+                # fast-forward the deterministic batcher through the
+                # completed epochs so the ring/shuffle state matches the
+                # uninterrupted run's
+                for _ in range(start_epoch):
+                    batcher.next_epoch()
+                log(f"resumed from {resume_path}: continuing at epoch "
+                    f"{start_epoch} (best {best:.4f})")
+        for epoch in range(start_epoch, epochs):
             if embeddings_path is not None:
                 # per-epoch embedding export (ref Code/main.py:275)
                 self.export_embeddings(embeddings_path)
@@ -843,6 +873,19 @@ class Trainer:
                 else:
                     save_checkpoint(checkpoint_path, self.state.params,
                                     self.state.opt_state, epoch)
+            if resume_path:
+                # full resume snapshot EVERY epoch (not just improvements):
+                # params + optimizer + RNG key + running best
+                if resume_mgr is not None:
+                    resume_mgr.save(epoch, self.state.params,
+                                    self.state.opt_state, epoch,
+                                    key=self.state.key, best=best)
+                else:
+                    save_checkpoint(resume_path, self.state.params,
+                                    self.state.opt_state, epoch,
+                                    key=self.state.key, best=best)
+        if resume_mgr is not None:
+            resume_mgr.close()
         if checkpoint_path:
             if ckpt_mgr is not None:
                 if ckpt_mgr.latest_step() is not None:
@@ -869,6 +912,46 @@ class Trainer:
                 self.state = self.state._replace(params=params)
         return history
 
+    def _load_resume(self, resume_path: str, resume_mgr):
+        """Restore a per-epoch resume snapshot.  Returns (params, opt_state,
+        key, epoch_done, best) or None when no snapshot exists yet."""
+        if resume_mgr is not None:
+            if resume_mgr.latest_step() is None:
+                return None
+            params, opt_state, epoch_done = resume_mgr.restore(
+                like_params=self.state.params,
+                like_opt_state=self.state.opt_state)
+            meta = resume_mgr.last_meta
+            key = self.state.key
+            if meta.get("key") is not None:
+                key = jnp.asarray(np.asarray(meta["key"], np.uint32))
+            return params, opt_state, key, epoch_done, meta.get("best")
+        if not os.path.exists(resume_path):
+            return None
+        ckpt = load_checkpoint(resume_path, full=True)
+        if ckpt.get("epoch") is None:
+            return None
+        params = ckpt["params"]
+        opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"]) \
+            if ckpt.get("opt_state") is not None else self.state.opt_state
+        key = (jnp.asarray(ckpt["key"]) if ckpt.get("key") is not None
+               else self.state.key)
+        if self.mesh is not None:
+            from matcha_tpu.parallel.distributed import put_global
+            from matcha_tpu.parallel.mesh import param_sharding
+            from jax.sharding import NamedSharding, PartitionSpec
+            params = jax.tree_util.tree_map(
+                put_global, params,
+                param_sharding(params, self.mesh,
+                               tensor_parallel=self.tensor_parallel))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            # optimizer moments follow the replicated layout of the pickle
+            # path (single-host); key is replicated
+            opt_state = jax.tree_util.tree_map(
+                lambda x: put_global(jnp.asarray(x), rep), opt_state)
+            key = put_global(key, rep)
+        return params, opt_state, key, ckpt["epoch"], ckpt.get("best")
+
     def export_embeddings(self, path: str) -> np.ndarray:
         """Per-node embedding export (ref save_embeddings,
         Code/main.py:462-479 -> ../embeddings.npy)."""
@@ -885,10 +968,15 @@ class Trainer:
 
 
 # ------------------------------------------------------------- checkpointing
-def save_checkpoint(path: str, params, opt_state=None, epoch=None) -> None:
+def save_checkpoint(path: str, params, opt_state=None, epoch=None,
+                    key=None, best=None) -> None:
     """Best-model checkpoint (parity with ref {'model_link', 'epoch'} dict,
     Code/main.py:316-322, extended with optimizer state for true resume —
     the reference cannot resume mid-stage, SURVEY §5.4).
+
+    key/best: the trainer RNG key and running best-metric value — stored by
+    the per-epoch RESUME snapshots so a restored run replays the exact
+    trajectory of the uninterrupted one (SURVEY §5.3).
 
     Multi-process: state is replicated (addressable everywhere); process 0
     writes, others no-op (reload assumes a shared filesystem, the usual pod
@@ -900,7 +988,9 @@ def save_checkpoint(path: str, params, opt_state=None, epoch=None) -> None:
         pickle.dump({"params": jax.device_get(params),
                      "opt_state": jax.device_get(opt_state)
                      if opt_state is not None else None,
-                     "epoch": epoch}, f)
+                     "epoch": epoch,
+                     "key": None if key is None else jax.device_get(key),
+                     "best": best}, f)
 
 
 def load_checkpoint(path: str, full: bool = False):

@@ -106,6 +106,76 @@ def test_fit_orbax_best_reload(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def _small_problem(seed=5):
+    from matcha_tpu.genome import GenomeBins
+    from matcha_tpu.models.hypersagnn import (ModelDims, build_frozen_tables,
+                                              init_model)
+    from matcha_tpu.sampler.bloom import build_bloom_dict
+
+    rng = np.random.default_rng(seed)
+    genome = GenomeBins(["chr1", "chr2"], [20_000_000, 14_000_000], 1_000_000)
+    n = genome.num_nodes
+    intra = rng.random((n, n)).astype(np.float32)
+    intra = intra + intra.T
+    inter = rng.random((n, n)).astype(np.float32)
+    dims = ModelDims(dim=8, n_head=2, num_chroms=2, num_nodes=n)
+    chrom_sizes = [int(e - s) for s, e in genome.chrom_range]
+    params = init_model(jax.random.PRNGKey(0), dims, chrom_sizes)
+    frozen = build_frozen_tables(genome, intra, inter)
+    buckets = {}
+    for k in (2, 3):
+        e = np.stack([np.sort(rng.choice(np.arange(1, n + 1), k,
+                                         replace=False))
+                      for _ in range(24)]).astype(np.int32)
+        buckets[k] = (e, np.ones(len(e), np.float32))
+    blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
+    return genome, dims, params, frozen, buckets, blooms
+
+
+@pytest.mark.parametrize("fmt", ["pickle", "orbax"])
+def test_resume_mid_stage_exact(tmp_path, fmt):
+    """Kill after epoch 1, restore, continue: the continued trajectory
+    (losses AND final params) must equal the uninterrupted 4-epoch run —
+    optimizer state, RNG key, and batcher ring state all restored
+    (SURVEY §5.3/§5.4: the capability the reference lacks)."""
+    from matcha_tpu.sampler.negative import ChromTable
+    from matcha_tpu.train.runtime import Trainer, TrainSettings
+
+    genome, dims, params, frozen, buckets, blooms = _small_problem()
+    table = ChromTable.from_genome(genome)
+    settings = TrainSettings(alpha=1.0, beta=0.001)
+    kw = dict(epochs=4, batch_size=8, num_batch_per_iter=2,
+              checkpoint_format=fmt, log=lambda *_: None)
+
+    # uninterrupted run
+    ta = Trainer(params, frozen, dims, table, settings, blooms=blooms)
+    hist_a = ta.fit(buckets, buckets,
+                    resume_path=str(tmp_path / f"resA_{fmt}"), **kw)
+
+    # interrupted: 2 epochs, then a FRESH trainer resumes for epochs 2-3
+    pb = str(tmp_path / f"resB_{fmt}")
+    tb1 = Trainer(params, frozen, dims, table, settings, blooms=blooms)
+    kw1 = dict(kw, epochs=2)
+    tb1.fit(buckets, buckets, resume_path=pb, **kw1)
+    tb2 = Trainer(params, frozen, dims, table, settings, blooms=blooms)
+    hist_b = tb2.fit(buckets, buckets, resume_path=pb, resume=True, **kw)
+
+    assert len(hist_b) == 2   # only epochs 2 and 3 ran
+    for a, b in zip(hist_a[2:], hist_b):
+        assert abs(a["train"]["bce"] - b["train"]["bce"]) < 1e-6
+        assert abs(a["train"]["recon"] - b["train"]["recon"]) < 1e-5
+        assert abs(a["valid"]["bce"] - b["valid"]["bce"]) < 1e-6
+    for x, y in zip(jax.tree_util.tree_leaves(ta.state.params),
+                    jax.tree_util.tree_leaves(tb2.state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+    # optimizer state equality too (true resume, not params-only)
+    for x, y in zip(jax.tree_util.tree_leaves(ta.state.opt_state),
+                    jax.tree_util.tree_leaves(tb2.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_model_bundle_without_adjacency(tmp_path):
     """save_model_bundle treats the adjacency matrices as optional (the
     'table' embedding mode needs no frozen feature tables); load must not
