@@ -320,10 +320,11 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
         # mesh: per-shard counts + psum via shard_map.
         from matcha_tpu.ops.table_scatter import (bincount_f32,
                                                   bincount_sharded)
-        from matcha_tpu.parallel.mesh import active_data_mesh
+        from matcha_tpu.parallel.mesh import (active_data_mesh,
+                                              kernel_batch_factor)
         mesh = active_data_mesh()
         flat_ids = x_flat.reshape(-1)
-        if mesh is not None and T % int(mesh.shape["data"]) == 0:
+        if mesh is not None and T % kernel_batch_factor(mesh) == 0:
             cnt = bincount_sharded(flat_ids, R, mesh)
         elif mesh is not None and T * R <= (1 << 31):
             cnt = jnp.sum(
@@ -491,7 +492,8 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
         # partials psum in the transpose.
         from matcha_tpu.ops.table_scatter import (table_gather,
                                                   table_gather_sharded)
-        if mesh is not None and T_tok % int(mesh.shape["data"]) == 0:
+        from matcha_tpu.parallel.mesh import kernel_batch_factor
+        if mesh is not None and T_tok % kernel_batch_factor(mesh) == 0:
             emb = table_gather_sharded(node_table, flat, mesh)
         elif mesh is not None:
             emb = node_table[flat]
@@ -515,9 +517,8 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     # (interpret mode has no PRNG); under a pure-DP mesh the kernel is
     # shard_mapped over "data" like the other Pallas call sites.
     from matcha_tpu.ops.fused_tail import BT as _FT_BT
-    mesh_ft = mesh
-    ft_quantum = _FT_BT * (int(mesh_ft.shape["data"])
-                           if mesh_ft is not None else 1)
+    from matcha_tpu.parallel.mesh import kernel_batch_factor as _kbf
+    ft_quantum = _FT_BT * _kbf(mesh)
     use_fused_tail = (
         _fuse_tail_enabled()
         and dims.diag_mask and dims.use_pallas_attention

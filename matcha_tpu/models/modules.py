@@ -199,9 +199,10 @@ def mha_dynamic(p: Params, x, n_head: int, d_k: int, d_v: int,
         key, kd = jax.random.split(key) if key is not None else (None, None)
         return dropout(kd, out, drop_rate, train)
     if use_pallas and jax.default_backend() != "cpu":
-        from matcha_tpu.parallel.mesh import active_data_mesh
+        from matcha_tpu.parallel.mesh import (active_data_mesh,
+                                              kernel_batch_factor)
         mesh = active_data_mesh()
-        nd = int(mesh.shape["data"]) if mesh is not None else 1
+        nd = kernel_batch_factor(mesh)
         if b % (128 * nd) == 0:
             # fused Pallas kernel: LN+qkv+attention+fc1 in one VMEM pass;
             # shard_mapped over "data" when a mesh is active (Pallas custom

@@ -146,8 +146,11 @@ def table_gather_sharded(table: jnp.ndarray, idx: jnp.ndarray,
 
 
 def bincount_sharded(idx: jnp.ndarray, n_rows: int, mesh) -> jnp.ndarray:
-    """bincount_f32 shard_mapped over "data": per-shard counts + psum."""
+    """bincount_f32 shard_mapped over the mesh batch axes: per-shard counts
+    + psum."""
     from jax.sharding import PartitionSpec as P
+    from matcha_tpu.parallel.mesh import kernel_axes
+    axes = kernel_axes(mesh)
     return jax.shard_map(
-        lambda ii: jax.lax.psum(bincount_f32(ii, n_rows), "data"),
-        mesh=mesh, in_specs=(P("data"),), out_specs=P())(idx)
+        lambda ii: jax.lax.psum(bincount_f32(ii, n_rows), axes),
+        mesh=mesh, in_specs=(P(axes),), out_specs=P())(idx)

@@ -136,11 +136,20 @@ def shard_train_inputs(mesh: Mesh, params, frozen: FrozenTables, batch):
 # they force XLA to all-gather their operands and run replicated on every
 # chip (measured: 18 all-gathers for one attention call on an 8-way data
 # mesh).  Model code therefore wraps its Pallas kernels in `jax.shard_map`
-# over the "data" axis when a mesh is active.  The mesh is consulted at
-# TRACE time, so the Trainer scopes it to each of its own jitted calls
+# over the mesh's batch axes when a mesh is active.  The mesh is consulted
+# at TRACE time, so the Trainer scopes it to each of its own jitted calls
 # with `using_active_mesh` — a set-and-forget global would let a second
-# Trainer (or none) silently change which wrapping an earlier Trainer's
+# Trainer (or none) silently change what an earlier Trainer's
 # still-untraced functions compile with.
+#
+# Mixed data x model meshes: the kernels' batch axis is still pure-DP
+# inside a model-sharded program — every replicated-weight kernel input
+# (attention weights, the all-gathered encoded node table) stays replicated
+# when params are replicated — so the wrapper shards the batch dimension
+# over BOTH axes jointly (P(("data", "model"))), using every chip.  Only
+# tensor_parallel (Megatron-sharded attention weights) disqualifies the
+# kernels: the Trainer then installs no kernel mesh and warns (the XLA
+# paths remain GSPMD-correct).
 
 _ACTIVE_MESH: Optional[Mesh] = None
 
@@ -166,44 +175,60 @@ def using_active_mesh(mesh: Optional[Mesh]):
 def active_data_mesh() -> Optional[Mesh]:
     """The mesh Pallas kernels should shard_map over, or None.
 
-    Only pure data-parallel meshes qualify: with model-axis sharding the
-    node tables are NOT replicated, so the kernels' P() in_specs would be
-    wrong — those configurations keep the XLA paths, which GSPMD
-    partitions correctly."""
+    Data-parallel and mixed data x model meshes qualify (the batch shards
+    over both axes jointly — kernel weight inputs are replicated whenever
+    params are replicated).  Tensor-parallel configurations must not
+    install a kernel mesh (the Trainer passes None): their attention
+    weights are model-sharded, which the P() in_specs would mis-declare."""
     m = _ACTIVE_MESH
-    if m is None:
-        return None
-    if int(m.shape.get("data", 1)) <= 1 or int(m.shape.get("model", 1)) != 1:
+    if m is None or int(np.prod(list(m.shape.values()))) <= 1:
         return None
     return m
 
 
-def to_varying(x, axis: str = "data"):
+def kernel_axes(mesh: Mesh) -> tuple:
+    """The mesh axes a kernel's batch dimension shards over."""
+    return tuple(a for a in ("data", "model")
+                 if int(mesh.shape.get(a, 1)) > 1) or ("data",)
+
+
+def kernel_batch_factor(mesh: Optional[Mesh]) -> int:
+    """Total shard count of the kernel batch axis (divisibility checks)."""
+    if mesh is None:
+        return 1
+    return int(np.prod([int(mesh.shape[a]) for a in kernel_axes(mesh)]))
+
+
+def to_varying(x, axes=("data",)):
     """Mark a replicated shard_map input as device-varying so its cotangent
     is psummed by the transpose (pcast/pvary compat)."""
+    axes = (axes,) if isinstance(axes, str) else tuple(axes)
     try:
-        return jax.lax.pcast(x, axis, to="varying")
+        return jax.lax.pcast(x, axes, to="varying")
     except (AttributeError, TypeError):
-        return jax.lax.pvary(x, (axis,))
+        return jax.lax.pvary(x, axes)
 
 
 def data_shard_map(fn, mesh: Mesh, n_sharded: int, n_replicated: int,
                    check_vma: bool = True):
-    """shard_map ``fn`` over the mesh "data" axis: the first ``n_sharded``
-    arguments are P("data")-sharded, the remaining ``n_replicated`` are P()
-    (replicated) and — under check_vma — pcast-to-varying so the shard_map
-    transpose psums their per-shard gradient partials.  The shared wrapper
-    for every Pallas call site (custom calls have no GSPMD rule)."""
+    """shard_map ``fn`` over the mesh's batch axes: the first ``n_sharded``
+    arguments shard their leading dim over P(kernel_axes) — ("data",) on a
+    pure-DP mesh, ("data", "model") jointly on a mixed mesh — the remaining
+    ``n_replicated`` are P() (replicated) and, under check_vma,
+    pcast-to-varying so the shard_map transpose psums their per-shard
+    gradient partials.  The shared wrapper for every Pallas call site
+    (custom calls have no GSPMD rule)."""
     from jax.sharding import PartitionSpec as P
+    axes = kernel_axes(mesh)
 
     def inner(*args):
         sharded = args[:n_sharded]
         reps = args[n_sharded:]
         if check_vma:
-            reps = tuple(to_varying(r) for r in reps)
+            reps = tuple(to_varying(r, axes) for r in reps)
         return fn(*sharded, *reps)
 
     return jax.shard_map(
         inner, mesh=mesh, check_vma=check_vma,
-        in_specs=(P("data"),) * n_sharded + (P(),) * n_replicated,
-        out_specs=P("data"))
+        in_specs=(P(axes),) * n_sharded + (P(),) * n_replicated,
+        out_specs=P(axes))

@@ -406,6 +406,18 @@ class Trainer:
         # second Trainer would otherwise silently change what this one's
         # still-untraced functions compile with)
         from matcha_tpu.parallel.mesh import using_active_mesh
+        # tensor_parallel shards the attention weights on "model", which the
+        # kernel wrappers' replicated in_specs would mis-declare — TP keeps
+        # the (GSPMD-correct) XLA paths and we say so out loud
+        kmesh = None if tensor_parallel else mesh
+        self._kernel_mesh = kmesh
+        if tensor_parallel and dims.use_pallas_attention:
+            import warnings
+            warnings.warn(
+                "tensor_parallel=True disables the Pallas kernels (their "
+                "shard_map wrappers assume replicated attention weights); "
+                "running the XLA attention/gather paths instead",
+                stacklevel=2)
         self.frozen = frozen
         self.dims = dims
         self.chrom_table = chrom_table
@@ -487,7 +499,7 @@ class Trainer:
             return jax.lax.scan(eval_step, state, stacked)
 
         def run_train_epoch(state, stacked):
-            with using_active_mesh(mesh):
+            with using_active_mesh(kmesh):
                 return train_epoch_fn(state, stacked, self.frozen,
                                       self.chrom_table, self.blooms or {},
                                       self.blooms is not None)
@@ -507,19 +519,19 @@ class Trainer:
             return jax.lax.scan(eval_step, state, stacked)
 
         def run_eval_epoch(state, stacked):
-            with using_active_mesh(mesh):
+            with using_active_mesh(kmesh):
                 return eval_epoch_fn(state, stacked, self.frozen,
                                      self.chrom_table, self.blooms or {},
                                      self.blooms is not None)
 
         def run_eval_mixed(state, stacked, ks):
-            with using_active_mesh(mesh):
+            with using_active_mesh(kmesh):
                 return eval_mixed_fn(state, stacked, self.frozen,
                                      self.chrom_table, self.blooms or {},
                                      ks, self.blooms is not None)
 
         def run_device_epoch(state, full, steps, batch):
-            with using_active_mesh(mesh):
+            with using_active_mesh(kmesh):
                 return device_epoch_fn(state, full, self.frozen,
                                        self.chrom_table, self.blooms or {},
                                        steps, batch, self.blooms is not None)
@@ -611,7 +623,7 @@ class Trainer:
         scripts/comm_budget.py (compiled-HLO collective volumes)."""
         from matcha_tpu.parallel.mesh import using_active_mesh
         stacked = self._place_batch(stacked)
-        with using_active_mesh(self.mesh):
+        with using_active_mesh(self._kernel_mesh):
             return self._train_epoch_jit.lower(
                 self.state, stacked, self.frozen, self.chrom_table,
                 self.blooms or {}, self.blooms is not None)

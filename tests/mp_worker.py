@@ -68,7 +68,8 @@ def build_and_train():
     return {"hist": hist, "eval_bce": float(ev["bce"]),
             "checksum": checksum,
             "process_count": jax.process_count(),
-            "devices": len(jax.devices())}
+            "devices": len(jax.devices()),
+            "mesh": dict(mesh.shape)}
 
 
 def main():

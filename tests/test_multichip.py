@@ -130,6 +130,67 @@ def test_tensor_parallel_mode(problem):
     assert np.isfinite(r["bce"])
 
 
+def test_kernel_wrap_on_mixed_mesh():
+    """The Pallas shard_map wrapper (data_shard_map) shards the batch over
+    BOTH axes of a mixed data x model mesh: forward output matches the
+    unsharded fn and gradients of replicated inputs psum correctly across
+    all 8 shards (VERDICT #9: the kernels keep working under a data=4,
+    model=2 mesh instead of silently downgrading)."""
+    from matcha_tpu.parallel.mesh import (active_data_mesh, data_shard_map,
+                                          kernel_axes, kernel_batch_factor,
+                                          using_active_mesh)
+    mesh = make_mesh(4, 2)
+    assert kernel_axes(mesh) == ("data", "model")
+    assert kernel_batch_factor(mesh) == 8
+    with using_active_mesh(mesh):
+        assert active_data_mesh() is mesh
+    pure = make_mesh(8, 1)
+    assert kernel_axes(pure) == ("data",)
+    assert kernel_batch_factor(pure) == 8
+
+    x = jnp.arange(64.0).reshape(16, 4) / 64.0   # batch 16 over 8 shards
+    w = jnp.arange(16.0).reshape(4, 4) / 10.0
+
+    def fn(xx, ww):
+        return jnp.tanh(xx @ ww)
+
+    def loss_sharded(x, w):
+        return jnp.sum(data_shard_map(fn, mesh, 1, 1)(x, w) ** 2)
+
+    def loss_plain(x, w):
+        return jnp.sum(fn(x, w) ** 2)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_sharded, argnums=(0, 1)))(x, w)
+    v2, g2 = jax.value_and_grad(loss_plain, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-5)
+    # the replicated weight's gradient is psummed over all 8 shards
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tensor_parallel_warns_and_disables_kernels(problem):
+    """Under TP the Pallas kernels are disabled (weights are model-sharded,
+    violating the wrappers' replicated in_specs): Trainer warns at
+    construction and installs no kernel mesh."""
+    import warnings as _warnings
+    genome, dims, params, frozen, table, buckets = problem
+    mesh = make_mesh(4, 2)
+    dims_p = dims._replace(use_pallas_attention=True)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        t = Trainer(params, frozen, dims_p, table,
+                    TrainSettings(alpha=1.0, beta=0.001), None, mesh=mesh,
+                    tensor_parallel=True)
+    assert any("disables the Pallas kernels" in str(r.message) for r in rec)
+    assert t._kernel_mesh is None
+    # non-TP mixed mesh keeps the kernel mesh installed
+    t2 = Trainer(params, frozen, dims, table,
+                 TrainSettings(alpha=1.0, beta=0.001), None, mesh=mesh)
+    assert t2._kernel_mesh is mesh
+
+
 def test_eval_sharded(problem):
     genome, dims, params, frozen, table, buckets = problem
     settings = TrainSettings(alpha=1.0, beta=0.001)

@@ -99,6 +99,9 @@ def test_two_process_training_matches_single_process(tmp_path):
         sp = json.load(f)
 
     assert mp0["process_count"] == 2 and mp0["devices"] == 4
+    # the 2 processes train over a MIXED (data=2, model=2) mesh: sharded
+    # frozen tables fed host-locally, not just pure DP (VERDICT r2 #7)
+    assert mp0["mesh"] == {"data": 2, "model": 2}
     assert sp["process_count"] == 1 and sp["devices"] == 4
     # both controllers observed the same run
     assert mp0 == mp1
