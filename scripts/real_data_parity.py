@@ -1,0 +1,278 @@
+"""REAL-DATA training parity: our JAX framework vs the PyTorch reference,
+both trained on the manuscript's own bundled SPRITE k-mer tuples
+(ref History_version/data/SPRITE/tuples/occ_above_8.zip) with the legacy
+frequency-band loading semantics (ref History_version/Code/main_SPRITE.py:
+579-591,659-692):
+
+  * per size s in 3..5, the band files ``<band>_filter_<s>.npy`` with the
+    legacy per-size band-skip rules (:661-666); the bundle ships the
+    [8,12] and "upper" bands;
+  * weights = the bundled ``<band>_<s>_intra_inter.npy`` arrays (:686),
+    mean-normalized x neg_num on BOTH sides (the current-gen treatment,
+    ref Code/main.py:594-595);
+  * 50/50 train/test split (:688);
+  * membership (rejection) sets built from ALL loaded tuples (:648-651).
+
+Both sides use the SAME node space (node2chrom.npy -> 2,745 hg38 1 Mb
+bins over 23 chromosomes), the SAME clique-expansion features from the
+train tuples (the bundle has no contact mcool; this is the legacy generic
+feature path, ref main_drop.py:543-563 — fed identically to the torch
+MultipleEmbedding and our FrozenTables), the current-gen model/training
+(ref Code/Modules.py + Code/main.py two-stage), and sklearn metrics.
+Negative draws differ only by RNG stream.
+
+Usage: python scripts/real_data_parity.py [--cap 4000] [--stage2-epochs 8]
+Prints a side-by-side per-size AUROC/AUPRC table; record in BASELINE.md.
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+import zipfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, ".."))
+sys.path.insert(0, os.path.join(HERE, "..", "tests"))
+
+SPRITE_DIR = "/root/reference/History_version/data/SPRITE"
+BANDS = [[3, 5], [5, 8], [8, 12], "upper"]   # ref main_SPRITE.py:581
+
+
+def band_name(thresh):
+    return "%d_%d" % tuple(thresh) if isinstance(thresh, list) else thresh
+
+
+def load_bands(rng, cap):
+    """Tuples + intra_inter weights per size with the legacy skip rules
+    (ref main_SPRITE.py:659-678); missing band files (the bundle ships
+    8_12 + upper) are skipped like the reference would fail-fast on."""
+    z = zipfile.ZipFile(os.path.join(SPRITE_DIR, "tuples/occ_above_8.zip"))
+    names = set(z.namelist())
+    all_edges = {}      # full universe per size (membership sets)
+    buckets = {}        # capped train material per size
+    for size in (3, 4, 5):
+        rows, ws = [], []
+        for thresh in BANDS:
+            if isinstance(thresh, list):
+                if size == 3 and thresh[0] <= 5:
+                    continue          # ref :663-664
+                if size == 4 and thresh[0] <= 3:
+                    continue          # ref :665-666
+            nm = band_name(thresh)
+            f_e = f"{nm}_filter_{size}.npy"
+            f_w = f"{nm}_{size}_intra_inter.npy"
+            if f_e not in names or f_w not in names:
+                continue
+            e = np.load(io.BytesIO(z.read(f_e)), allow_pickle=True)
+            w = np.load(io.BytesIO(z.read(f_w)), allow_pickle=True)
+            e = np.asarray(list(e), dtype=np.int64)
+            rows.append(e)
+            ws.append(np.asarray(w, np.float32).reshape(-1)[: len(e)])
+        if not rows:
+            continue
+        e = np.concatenate(rows)
+        w = np.concatenate(ws)
+        # distinct sorted members (the invariant the sampler requires;
+        # ref main_SPRITE.py:646-647 documents ids must be sorted)
+        e.sort(axis=1)
+        ok = (np.diff(e, axis=1) > 0).all(axis=1)
+        e, w = e[ok], w[ok]
+        all_edges[size] = e.astype(np.int32)
+        sel = rng.permutation(len(e))[:cap]
+        buckets[size] = (e[sel].astype(np.int32), w[sel])
+    return all_edges, buckets
+
+
+def node_space():
+    n2c = np.load(os.path.join(SPRITE_DIR, "node2chrom.npy"),
+                  allow_pickle=True).item()
+    arr = np.zeros(max(n2c) + 1, np.int64)
+    for node, c in n2c.items():
+        arr[node] = c
+    counts = np.bincount(arr[1:]).tolist()
+    names = [f"chr{i + 1}" for i in range(len(counts))]
+    assert (np.diff(arr[1:]) >= 0).all()
+    return counts, names
+
+
+def split_5050(buckets, rng):
+    train, test = {}, {}
+    for k, (e, w) in sorted(buckets.items()):
+        idx = rng.permutation(len(e))
+        s = len(idx) // 2                       # ref :688
+        train[k] = (e[idx[:s]], w[idx[:s]])
+        test[k] = (e[idx[s:]], w[idx[s:]])
+    return train, test
+
+
+def normalize_weights(train, test, neg_num=3):
+    """Current-gen weight treatment on both sides (ref Code/main.py:594-5)."""
+    mean = np.mean(np.concatenate([w for _, w in train.values()]))
+    f = lambda d: {k: (e, w / mean * neg_num) for k, (e, w) in d.items()}
+    return f(train), f(test)
+
+
+# ------------------------------------------------------------------ jax side
+def jax_train(space, dims, params, frozen, table, train_b, test_b, all_edges,
+              *, stage1_epochs, stage2_epochs, steps, batch, seed):
+    from matcha_tpu.data.batcher import BucketedBatcher
+    from matcha_tpu.sampler.bloom import build_bloom_dict
+    from matcha_tpu.train.runtime import Trainer, TrainSettings
+
+    t0 = time.time()
+    s1 = TrainSettings(alpha=0.0, beta=1.0, neg_num=3)
+    tr1 = Trainer(params, frozen, dims, table, s1, blooms=None, seed=seed)
+    tr1.fit(train_b, test_b, epochs=stage1_epochs, batch_size=batch,
+            num_batch_per_iter=steps, log=lambda *_: None, seed=seed)
+    blooms = build_bloom_dict(all_edges)        # ref :648-651 (ALL tuples)
+    s2 = TrainSettings(alpha=1.0, beta=0.001, neg_num=3)
+    tr2 = Trainer(tr1.state.params, frozen, dims, table, s2, blooms=blooms,
+                  seed=seed + 1)
+    hist = tr2.fit(train_b, test_b, epochs=stage2_epochs, batch_size=batch,
+                   num_batch_per_iter=steps, log=lambda *_: None,
+                   seed=seed + 1)
+    return hist[-1]["valid"]["metrics"], time.time() - t0
+
+
+# ---------------------------------------------------------------- torch side
+def torch_train(space, intra, inter, train_b, test_b, all_edges, *,
+                dim, n_head, stage1_epochs, stage2_epochs, steps, batch,
+                seed):
+    import torch
+    import torch.nn.functional as F
+    from baseline_torch import reference_generate_negative
+    from reference_harness import build_torch_reference
+    from matcha_tpu.train.metrics import size_stratified_metrics
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    import random as _random
+    _random.seed(seed)
+    model = build_torch_reference(space, intra, inter, dim=dim, n_head=n_head)
+    rng = np.random.default_rng(seed)
+    ks = sorted(train_b.keys())
+    empty_sets = {i: set() for i in range(max(ks) + 1)}
+    member_sets = {i: set() for i in range(max(ks) + 1)}
+    for k, e in all_edges.items():
+        member_sets[k] = set(map(tuple, e.tolist()))
+
+    def run_stage(alpha, beta, epochs, sets):
+        opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
+        model.train()
+        for _ in range(epochs):
+            for _ in range(steps):
+                for k in ks:
+                    e, w = train_b[k]
+                    idx = rng.integers(0, len(e), batch)
+                    pos = e[idx].astype(np.int64)
+                    neg = reference_generate_negative(
+                        pos, sets, space, min_dis=0, neg_num=3)
+                    x = torch.from_numpy(np.concatenate([pos, neg]))
+                    y = torch.cat([torch.ones(len(pos), 1),
+                                   torch.zeros(len(neg), 1)])
+                    ww = torch.cat([torch.from_numpy(
+                        w[idx].astype(np.float32)).reshape(-1, 1),
+                        torch.ones(len(neg), 1)])
+                    pred, recon = model(x, return_recon=True)
+                    loss = (alpha * F.binary_cross_entropy_with_logits(
+                        pred, y, weight=ww) + beta * recon)
+                    opt.zero_grad()
+                    loss.backward()
+                    opt.step()
+
+    t0 = time.time()
+    run_stage(0.0, 1.0, stage1_epochs, empty_sets)   # ref :589,637-643
+    run_stage(1.0, 0.001, stage2_epochs, member_sets)
+    elapsed = time.time() - t0
+
+    model.eval()
+    preds, ys, sizes = [], [], []
+    with torch.no_grad():
+        for k in ks:
+            e, w = test_b[k]
+            take = min(len(e), 10_000 // len(ks))
+            pos = e[rng.permutation(len(e))[:take]].astype(np.int64)
+            neg = reference_generate_negative(
+                pos, member_sets, space, min_dis=0, neg_num=3)
+            x = torch.from_numpy(np.concatenate([pos, neg]))
+            p = torch.sigmoid(model(x)).numpy().reshape(-1)
+            preds.append(p)
+            ys.append(np.concatenate([np.ones(len(pos)),
+                                      np.zeros(len(neg))]))
+            sizes.append(np.full(len(x), k, dtype=np.int32))
+    metrics = size_stratified_metrics(np.concatenate(ys),
+                                      np.concatenate(preds),
+                                      np.concatenate(sizes))
+    return metrics, elapsed
+
+
+def fmt(m):
+    keys = ["all"] + sorted(k for k in m if k != "all")
+    return "  ".join(f"{k}: auroc {m[k]['auroc']:.3f} "
+                     f"auprc {m[k]['auprc']:.3f}" for k in keys)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=int, default=4000,
+                    help="max tuples per size (runtime control)")
+    ap.add_argument("--dim", type=int, default=32)
+    ap.add_argument("--n-head", type=int, default=4)
+    ap.add_argument("--stage1-epochs", type=int, default=2)
+    ap.add_argument("--stage2-epochs", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=11)
+    args = ap.parse_args()
+
+    from matcha_tpu.data.generic import (adjacency_features,
+                                         build_generic_problem)
+
+    rng = np.random.default_rng(args.seed)
+    all_edges, buckets = load_bands(rng, args.cap)
+    counts, names = node_space()
+    train_b, test_b = split_5050(buckets, rng)
+    train_b, test_b = normalize_weights(train_b, test_b)
+    print("sizes:", {k: (len(train_b[k][0]), len(test_b[k][0]))
+                     for k in sorted(train_b)},
+          "universe:", {k: len(v) for k, v in all_edges.items()})
+
+    # one feature build, fed to BOTH frameworks (train edges only)
+    train_rows = [list(map(int, r)) for k in sorted(train_b)
+                  for r in train_b[k][0]]
+    space, dims, params, frozen, table = build_generic_problem(
+        counts, train_rows, dim=args.dim, n_head=args.n_head,
+        type_names=names, seed=args.seed)
+    sizes = [len(r) for r in train_rows]
+    flat = np.concatenate([np.asarray(r) for r in train_rows]).astype(np.int32)
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    intra, inter = adjacency_features(space, flat, offsets)
+
+    jm, jt = jax_train(space, dims, params, frozen, table, train_b, test_b,
+                       all_edges, stage1_epochs=args.stage1_epochs,
+                       stage2_epochs=args.stage2_epochs, steps=args.steps,
+                       batch=args.batch, seed=args.seed)
+    print(f"jax   ({jt:6.1f}s): {fmt(jm)}")
+
+    tm, tt = torch_train(space, intra, inter, train_b, test_b, all_edges,
+                         dim=args.dim, n_head=args.n_head,
+                         stage1_epochs=args.stage1_epochs,
+                         stage2_epochs=args.stage2_epochs, steps=args.steps,
+                         batch=args.batch, seed=args.seed)
+    print(f"torch ({tt:6.1f}s): {fmt(tm)}")
+
+    gap = {k: jm[k]["auroc"] - tm[k]["auroc"] for k in jm if k in tm}
+    print(json.dumps({"auroc_gap_jax_minus_torch":
+                      {str(k): round(v, 4) for k, v in gap.items()},
+                      "jax_wall_s": round(jt, 1),
+                      "torch_wall_s": round(tt, 1)}))
+
+
+if __name__ == "__main__":
+    main()
