@@ -560,10 +560,10 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
         ft_args = (dyn, h, ln6, pn["layers"][0]["w"], pn["layers"][0]["b"],
                    pn["layers"][1]["w"], pn["layers"][1]["b"], cl["w"],
                    cl["b"], seed)
-        if mesh_ft is not None:
+        if mesh is not None:
             from matcha_tpu.ops.fused_tail import fused_tail_sharded
             per_pos = fused_tail_sharded(*ft_args, 0.3, 0.4, ft_train,
-                                         mesh_ft)           # (T, 1) f32
+                                         mesh)              # (T, 1) f32
         else:
             per_pos = fused_tail(*ft_args, 0.3, 0.4,
                                  ft_train)                   # (T, 1) f32

@@ -85,7 +85,10 @@ def _kernel(orig_ref, change_ref, lo_ref, hi_ref, u_ref, probe_ref, has_ref,
                               hi_ref[...], u_ref[...],
                               min_distance=min_distance, T=T, S=S, k=k)
     probe_ref[...] = jnp.stack(probe)                       # (S, k, bn)
-    has_ref[...] = jnp.concatenate(has, axis=0).astype(jnp.int32)  # (S, bn)
+    # cast each mask BEFORE concatenating: Mosaic cannot concat i1 vregs
+    # (lowers to an invalid i1->i32 tpu.bitcast_vreg on real hardware)
+    has_ref[...] = jnp.concatenate([h.astype(jnp.int32) for h in has],
+                                   axis=0)                  # (S, bn)
 
 
 def propose_phase1(orig_t: jnp.ndarray, change_t: jnp.ndarray,

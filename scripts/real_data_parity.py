@@ -218,6 +218,11 @@ def fmt(m):
 
 
 def main():
+    # this JAX distro ignores the JAX_PLATFORMS env var; force via config
+    # so a CPU parity run does not steal the tunneled TPU
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--cap", type=int, default=4000,
                     help="max tuples per size (runtime control)")
