@@ -62,8 +62,11 @@ def bits_to_mask(bits_u32, rate: float):
     """uint32 random bits -> inverted-dropout keep mask scaled by
     1/(1-rate) (top 24 bits -> uniform [0, 1); keep iff u >= rate).
     Pure jnp so the transform is CPU-testable outside the kernel."""
+    # route the u32->f32 cast through int32 (the >>8 top-24-bit value is
+    # always < 2^24 so the signed reinterpretation is lossless): Mosaic
+    # has no uint32->float32 lowering on real hardware
     u = (jax.lax.shift_right_logical(bits_u32, jnp.uint32(8))
-         .astype(jnp.float32) * (1.0 / (1 << 24)))
+         .astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24)))
     return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
 
 
@@ -111,9 +114,12 @@ def _stage_fwd(y, h, ln_ref, w1_ref, b1_ref, w2_ref, b2_ref, wc_ref,
     diff = dynamic.astype(f32) - static.astype(f32)
     out = (diff * diff).astype(dt)
     if need_pp:
-        pp = (jax.lax.dot_general(out, wc_ref[...].astype(dt),
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
+        # N=1 classifier dot as a VPU broadcast+reduce in f32: Mosaic
+        # lowers an f32 MXU dot as ONE bf16 pass (XLA lowers N=1 dots as
+        # f32 reduces), which cost ~1% logit error on real hardware —
+        # wc arrives as a (1, d) row so this stays a lane-wise broadcast
+        pp = (jnp.sum(diff * diff * wc_ref[...].astype(f32),
+                      axis=1, keepdims=True)
               + bc_ref[...].astype(f32))                    # (bt, 1) f32
     else:
         pp = None                       # backward recompute stops at `out`
@@ -146,13 +152,11 @@ def _bwd_kernel(seed_ref, y_ref, h_ref, ln_ref, w1_ref, b1_ref, w2_ref,
     ln = ln_ref[...]
     g = g_ref[...]                                         # (bt, 1) f32
 
-    # classifier linear: g_out = g @ wc.T as a broadcast (wc is (d, 1))
-    g_out = jax.lax.dot_general(g, wc_ref[...].astype(f32),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)  # (bt, d)
-    gwc = jax.lax.dot_general(out.astype(f32), g,
-                              (((0,), (0,)), ((), ())),
-                              preferred_element_type=f32)   # (d, 1)
+    # classifier linear as exact f32 VPU broadcasts (wc arrives (1, d);
+    # the K=1/N=1 MXU dots would round operands to bf16 — see _stage_fwd)
+    g_out = g * wc_ref[...].astype(f32)                     # (bt, d)
+    gwc = jnp.sum(out.astype(f32) * g, axis=0,
+                  keepdims=True)                            # (1, d)
     gbc = jnp.sum(g, axis=0)                                # (1,)
 
     g_diff = 2.0 * diff * g_out
@@ -220,7 +224,7 @@ def _common_in_specs(bt, d):
     return [pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),   # seed (2D scalar)
             toks, toks, rep((6, d)), rep((d, d)), rep((d,)),
-            rep((d, d)), rep((d,)), rep((d, 1)), rep((1,))], toks, rep
+            rep((d, d)), rep((d,)), rep((1, d)), rep((1,))], toks, rep
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
@@ -247,7 +251,7 @@ def _ft_fwd(y, h, ln6, w1, b1, w2, b2, wc, bc, seed, r0, r1, train):
         interpret=interpret)(
         jnp.asarray(seed, jnp.int32).reshape(1, 1), y, h, ln6,
         w1.astype(y.dtype), b1.astype(f32), w2.astype(y.dtype),
-        b2.astype(f32), wc.astype(y.dtype), bc.astype(f32))
+        b2.astype(f32), wc.astype(f32).reshape(1, d), bc.astype(f32))
     return pp, (y, h, ln6, w1, b1, w2, b2, wc, bc, seed)
 
 
@@ -259,7 +263,7 @@ def _ft_bwd(r0, r1, train, res, g):
     in_specs, toks, rep = _common_in_specs(BT, d)
     in_specs.append(pl.BlockSpec((BT, 1), lambda i: (i, 0)))
     out_specs = [toks, toks, rep((6, d)), rep((d, d)), rep((d,)),
-                 rep((d, d)), rep((d,)), rep((d, 1)), rep((1,))]
+                 rep((d, d)), rep((d,)), rep((1, d)), rep((1,))]
     out_shape = [jax.ShapeDtypeStruct((T, d), y.dtype),
                  jax.ShapeDtypeStruct((T, d), h.dtype),
                  jax.ShapeDtypeStruct((6, d), f32),
@@ -267,7 +271,7 @@ def _ft_bwd(r0, r1, train, res, g):
                  jax.ShapeDtypeStruct((d,), f32),
                  jax.ShapeDtypeStruct((d, d), f32),
                  jax.ShapeDtypeStruct((d,), f32),
-                 jax.ShapeDtypeStruct((d, 1), f32),
+                 jax.ShapeDtypeStruct((1, d), f32),
                  jax.ShapeDtypeStruct((1,), f32)]
     gy, gh, gln, gw1, gb1, gw2, gb2, gwc, gbc = pl.pallas_call(
         partial(_bwd_kernel, r0=r0, r1=r1, train=train),
@@ -275,11 +279,13 @@ def _ft_bwd(r0, r1, train, res, g):
         out_shape=out_shape, interpret=interpret)(
         jnp.asarray(seed, jnp.int32).reshape(1, 1), y, h, ln6,
         w1.astype(y.dtype), b1.astype(f32), w2.astype(y.dtype),
-        b2.astype(f32), wc.astype(y.dtype), bc.astype(f32), g.astype(f32))
+        b2.astype(f32), wc.astype(f32).reshape(1, d), bc.astype(f32),
+        g.astype(f32))
     # seed is an int input: its cotangent is the symbolic float0 zero
     g_seed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
     return (gy, gh, gln, gw1.astype(w1.dtype), gb1.astype(b1.dtype),
-            gw2.astype(w2.dtype), gb2.astype(b2.dtype), gwc.astype(wc.dtype),
+            gw2.astype(w2.dtype), gb2.astype(b2.dtype),
+            gwc.reshape(d, 1).astype(wc.dtype),
             gbc.astype(bc.dtype), g_seed)
 
 

@@ -40,7 +40,10 @@ def test_active_mesh_gating(data_mesh):
     assert active_data_mesh() is data_mesh
     tp = make_mesh(n_data=4, n_model=2)
     set_active_mesh(tp)
-    assert active_data_mesh() is None        # TP tables are model-sharded
+    # mixed data x model meshes qualify since the kernels shard the batch
+    # over BOTH axes jointly (weights replicated when params are) — only
+    # Trainer-level TP (model-sharded attention weights) passes None
+    assert active_data_mesh() is tp
 
 
 def test_mha_fused_sharded_matches_unsharded(rng, data_mesh):
