@@ -513,7 +513,11 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     # over the merged stream — the XLA chain re-reads the (T, d) stream
     # from HBM ~15 times.  The attention-output dropout (0.3) moves INSIDE
     # the kernel (in-kernel PRNG), so attention runs with drop_rate=0.
-    # Opt-in (MATCHA_FUSE_TAIL=1) until TPU-validated; CPU eval-mode only
+    # Opt-in (MATCHA_FUSE_TAIL=1): TPU-validated for correctness (eval
+    # parity 7.6e-6, grads vs autodiff 6.3e-6 — BASELINE.md round 3) but
+    # measured 16% SLOWER than the XLA chain at the bench workload (XLA
+    # fuses these stages into neighbors; the custom call forces extra HBM
+    # materialization), so the default stays off.  CPU eval-mode only
     # (interpret mode has no PRNG); under a pure-DP mesh the kernel is
     # shard_mapped over "data" like the other Pallas call sites.
     from matcha_tpu.ops.fused_tail import BT as _FT_BT

@@ -47,17 +47,23 @@ def band_name(thresh):
     return "%d_%d" % tuple(thresh) if isinstance(thresh, list) else thresh
 
 
-def load_bands(rng, cap):
+def load_bands(rng, cap, bands=None):
     """Tuples + intra_inter weights per size with the legacy skip rules
     (ref main_SPRITE.py:659-678); missing band files (the bundle ships
-    8_12 + upper) are skipped like the reference would fail-fast on."""
+    8_12 + upper) are skipped like the reference would fail-fast on.
+
+    ``bands`` restricts the loaded bands (--protocol upper passes
+    ["upper"]: the freq>=12 slice carries learnable signal, while mixing
+    the [8,12] band in floods positives with weak tuples whose
+    chromosome-constrained corruptions keep k-1 strong members — both
+    frameworks then sit just below chance, identically)."""
     z = zipfile.ZipFile(os.path.join(SPRITE_DIR, "tuples/occ_above_8.zip"))
     names = set(z.namelist())
     all_edges = {}      # full universe per size (membership sets)
     buckets = {}        # capped train material per size
     for size in (3, 4, 5):
         rows, ws = [], []
-        for thresh in BANDS:
+        for thresh in (bands if bands is not None else BANDS):
             if isinstance(thresh, list):
                 if size == 3 and thresh[0] <= 5:
                     continue          # ref :663-664
@@ -111,9 +117,15 @@ def split_5050(buckets, rng):
 
 
 def normalize_weights(train, test, neg_num=3):
-    """Current-gen weight treatment on both sides (ref Code/main.py:594-5)."""
-    mean = np.mean(np.concatenate([w for _, w in train.values()]))
-    f = lambda d: {k: (e, w / mean * neg_num) for k, (e, w) in d.items()}
+    """The legacy driver trains UNWEIGHTED: its loss is loss_func(pred, y)
+    with no weight argument (ref main_SPRITE.py:115-125), and the
+    current-gen normalization lines are commented out there (:628-630).
+    The bundled ``intra_inter`` arrays are 0/1 indicators used only to
+    STRATIFY metrics (:200-201) — feeding them through the current-gen
+    w/mean*neg_num treatment zeroes 99.9% of positive gradients and both
+    frameworks sit below chance (measured, identically)."""
+    f = lambda d: {k: (e, np.ones(len(e), np.float32))
+                   for k, (e, w) in d.items()}
     return f(train), f(test)
 
 
@@ -233,13 +245,18 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--protocol", choices=["bands", "upper"],
+                    default="bands",
+                    help="'bands' = the legacy main_SPRITE band mix; "
+                         "'upper' = the freq>=12 slice only (learnable)")
     args = ap.parse_args()
 
     from matcha_tpu.data.generic import (adjacency_features,
                                          build_generic_problem)
 
     rng = np.random.default_rng(args.seed)
-    all_edges, buckets = load_bands(rng, args.cap)
+    all_edges, buckets = load_bands(
+        rng, args.cap, bands=["upper"] if args.protocol == "upper" else None)
     counts, names = node_space()
     train_b, test_b = split_5050(buckets, rng)
     train_b, test_b = normalize_weights(train_b, test_b)
