@@ -478,12 +478,13 @@ class Trainer:
             state = TrainState(state.params, state.opt_state, key)
             step = train_step_with(frozen, table,
                                    blooms if has_blooms else None)
-
-            def step_fn(st, idx):
-                bt = {k: (full[k][0][idx[k]], full[k][1][idx[k]])
-                      for k in full}
-                return step(st, bt)
-            return jax.lax.scan(step_fn, state, idxs)
+            # gather ALL batches in one bulk gather per bucket per epoch
+            # (steps x batch rows, ~2 MB) instead of per-step gathers in
+            # the scan body: the per-step gathers measured 0.59 ms/step of
+            # tiny ops — ~13% of the batch-2048 step
+            stacked = {k: (full[k][0][idxs[k]], full[k][1][idxs[k]])
+                       for k in full}
+            return jax.lax.scan(step, state, stacked)
 
         @partial(jax.jit, static_argnames=("has_blooms",))
         def eval_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):
