@@ -75,10 +75,22 @@ def scatter_add_matmul(g: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
 
 
 def _count_kernel(idx_ref, out_ref, *, bt: int, npad: int):
+    """Factorized histogram: onehot(idx) = onehot_hi(idx // 128) (x)
+    onehot_lo(idx % 128), so the count grid is the MXU outer product
+    one_hi @ one_lo^T — (npad/128 + 128) x bt compares instead of the
+    flat npad x bt (24x fewer VPU compares at npad=3072; the indicator
+    products are exact 0/1 in bf16 and counts <= bt stay exact in the
+    f32 MXU accumulator)."""
     idx = idx_ref[...]                                   # (1, bt) int32
-    rows = jax.lax.broadcasted_iota(jnp.int32, (npad, bt), 0)
-    cnt = jnp.sum((rows == idx).astype(jnp.float32), axis=1,
-                  keepdims=True)                         # (npad, 1)
+    A = npad // 128
+    hi = idx // 128
+    lo = idx - hi * 128
+    rows_a = jax.lax.broadcasted_iota(jnp.int32, (A, bt), 0)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (128, bt), 0)
+    one_hi = (rows_a == hi).astype(jnp.bfloat16)         # (A, bt)
+    one_lo = (rows_b == lo).astype(jnp.bfloat16)         # (128, bt)
+    cnt = jax.lax.dot_general(one_hi, one_lo, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (A, 128)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -105,11 +117,12 @@ def bincount_f32(idx: jnp.ndarray, n_rows: int,
         kern,
         grid=(T // bt,),
         in_specs=[pl.BlockSpec((1, bt), lambda i: (0, i))],
-        out_specs=pl.BlockSpec((npad, 1), lambda i: (0, 0)),  # accumulated
-        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        out_specs=pl.BlockSpec((npad // 128, 128),
+                               lambda i: (0, 0)),        # accumulated
+        out_shape=jax.ShapeDtypeStruct((npad // 128, 128), jnp.float32),
         interpret=interpret,
     )(idx.reshape(1, T).astype(jnp.int32))
-    return out[:n_rows, 0]
+    return out.reshape(npad)[:n_rows]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
