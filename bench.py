@@ -113,6 +113,33 @@ CHUNKS = int(os.environ.get("BENCH_CHUNKS", 5))
 K_LIST = (2, 3, 4, 5)
 
 
+def _bench_fit(trainer, buckets, per_step):
+    """BENCH_MODE=fit: run Trainer.fit verbatim (eval + checkpointing +
+    embedding export every epoch) and report the best steady epoch's
+    hyperedges/s as fit itself measured it."""
+    import tempfile
+    test_b = {k: (v[0][:2048], v[1][:2048]) for k, v in buckets.items()}
+    with tempfile.TemporaryDirectory() as td:
+        hist = trainer.fit(
+            buckets, test_b, epochs=CHUNKS, batch_size=BATCH,
+            num_batch_per_iter=STEPS_PER_CHUNK,
+            checkpoint_path=os.path.join(td, "model.chkpt"),
+            embeddings_path=os.path.join(td, "embeddings.npy"),
+            log=lambda m: _mark("fit_log", msg=str(m)[:160]), seed=3,
+            device_epochs="on")
+    rates = [h["train"]["hyperedges_per_sec"] for h in hist[1:]]
+    value = float(max(rates))
+    result = {
+        "metric": "fit_hyperedges_scored_per_sec_per_chip_dim64_k2-5",
+        "value": value,
+        "unit": "hyperedges/s",
+        "vs_baseline": round(value / BASELINE_REF_HYPEREDGES_PER_SEC, 2),
+    }
+    _partial["result"] = result
+    _mark("done")
+    print(json.dumps(result))
+
+
 def main():
     _mark("start", batch=BATCH)
     _probe_backend(float(os.environ.get("MATCHA_TPU_PROBE_TIMEOUT", 600)))
@@ -137,6 +164,7 @@ def main():
     _mark("perf_resolved", backend=jax.default_backend(), **perf)
 
     from __graft_entry__ import _build_problem, _random_buckets
+    from matcha_tpu.data.batcher import BucketedBatcher
     from matcha_tpu.sampler.bloom import build_bloom_dict
     from matcha_tpu.sampler.negative import ChromTable
     from matcha_tpu.train.runtime import Trainer, TrainSettings
@@ -155,17 +183,28 @@ def main():
         propose_impl=perf["propose_impl"])
     trainer = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
                       settings, blooms=blooms)
-    # device-resident epochs: data pinned in HBM, permutations drawn on
-    # device — no host batcher work in the measured loop
-    trainer.prepare_device_epochs(buckets, batch_size=BATCH,
-                                  num_batch_per_iter=STEPS_PER_CHUNK)
 
     # hyperedges scored per step: per k bucket, BATCH pos + 3*BATCH neg
     per_step = len(K_LIST) * BATCH * 4
 
+    if os.environ.get("BENCH_MODE") == "fit":
+        # measure the SHIPPED trainer verbatim: Trainer.fit with per-epoch
+        # eval, checkpoint selection, and embedding export — the exact code
+        # `python -m matcha_tpu train` runs.  The metric is the best
+        # steady-state epoch's hyperedges/s as fit itself reports it.
+        _bench_fit(trainer, buckets, per_step)
+        return
+
+    # indexed device-resident epochs — THE SAME jitted program Trainer.fit
+    # runs (epoch_indexed_fn): bucket base arrays pinned in HBM, per-chunk
+    # host-drawn indices (~3 MB, overlapped), on-device gathers
+    batcher = BucketedBatcher(buckets, batch_size=BATCH,
+                              num_batch_per_iter=STEPS_PER_CHUNK)
+    assert trainer.pin_base_buckets(batcher)
+
     # chunk 0 pays compile + the backend's one-time loop-runtime init
     t0 = time.time()
-    jax.device_get(trainer.train_epoch_device_launch()["bce"])
+    jax.device_get(trainer.train_epoch_indexed_launch(batcher)["bce"])
     _mark("warmup_done", seconds=round(time.time() - t0, 1))
 
     # steady state, pipelined: chunk i+1 executes while chunk i's scalar
@@ -176,10 +215,10 @@ def main():
     # locally-attached TPU the same DMA is ~2 ms and fully hidden.  The
     # realized tunnel fetch rate is recorded below as a partial stage.
     rates = []
-    pending = trainer.train_epoch_device_launch()
+    pending = trainer.train_epoch_indexed_launch(batcher)
     t_prev = time.time()
     for chunk in range(1, CHUNKS):
-        nxt = (trainer.train_epoch_device_launch()
+        nxt = (trainer.train_epoch_indexed_launch(batcher)
                if chunk < CHUNKS - 1 else None)
         jax.device_get(pending["bce"])        # completes when its epoch does
         now = time.time()

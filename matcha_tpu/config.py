@@ -63,6 +63,11 @@ class Config:
     bloom_error_rate: float = 1e-3     # matches pybloom_live err in ref Code/utils.py:83-85
     mesh_data: int = 1                 # data-parallel axis size
     mesh_model: int = 1                # model-parallel (node-shard) axis size
+    # reference-interop ragged edge_list.npy (a pickled object array; the
+    # canonical artifact is the CSR pair edge_members/edge_offsets.npy).
+    # "auto" skips the pickle above 2M clusters, where writing 10M+ Python
+    # lists costs minutes and GBs for an artifact nothing downstream reads.
+    ragged_edge_list: str = "auto"     # "auto" | "on" | "off"
 
     def __post_init__(self):
         self.chrom_list = list(self.chrom_list)

@@ -10,6 +10,15 @@ The key layout difference: instead of returning a ragged mixed-size list that
 the trainer re-pads per batch, `next_epoch` returns per-k arrays of static
 shape ``(num_batch_per_iter, batch_size, k)`` — one fixed-shape bucket per k,
 so every jitted train step sees identical shapes (no recompiles, no padding).
+
+The ring is INDEX-based: the (duplicated) base arrays stay fixed and the
+shuffle permutes an index vector.  ``next_epoch_indices`` exposes the raw
+per-epoch draw as indices into ``base`` — the Trainer pins the base arrays
+in HBM once and gathers each epoch's batches ON DEVICE (train_epoch_indexed),
+so the steady-state loop moves only ~4 B/row of indices over PCIe instead of
+re-staging the rows themselves.  ``next_epoch`` (gather on host) and
+``next_epoch_indices`` advance identical ring state, so the two trainer
+paths see bit-identical batch streams (tests/test_pipeline_e2e.py).
 """
 
 from __future__ import annotations
@@ -28,8 +37,9 @@ class BucketedBatcher:
         self.num_batch_per_iter = int(num_batch_per_iter)
         self.rng = np.random.default_rng(seed)
         self.k_list = sorted(buckets.keys())
-        self.edges: Dict[int, np.ndarray] = {}
-        self.weights: Dict[int, np.ndarray] = {}
+        self.base_edges: Dict[int, np.ndarray] = {}
+        self.base_weights: Dict[int, np.ndarray] = {}
+        self.order: Dict[int, np.ndarray] = {}
         self.pointer: Dict[int, int] = {}
 
         need = self.num_batch_per_iter * self.batch_size
@@ -44,34 +54,61 @@ class BucketedBatcher:
             while len(e) <= need:
                 e = np.concatenate([e, e])
                 w = np.concatenate([w, w])
-            self.edges[k], self.weights[k] = e, w
+            self.base_edges[k], self.base_weights[k] = e, w
+            self.order[k] = np.arange(len(e), dtype=np.int64)
             self._shuffle(k)
             self.pointer[k] = 0
 
     def _shuffle(self, k: int) -> None:
-        idx = self.rng.permutation(len(self.edges[k]))
-        self.edges[k] = self.edges[k][idx]
-        self.weights[k] = self.weights[k][idx]
+        # composing permutations on the index vector draws the same RNG
+        # stream — and therefore the same row sequence — as permuting the
+        # data arrays in place did
+        self.order[k] = self.order[k][self.rng.permutation(len(self.order[k]))]
+
+    def _draw_indices(self) -> Dict[int, np.ndarray]:
+        """Advance the ring one epoch; per k, indices into base of shape
+        (num_batch_per_iter, batch_size)."""
+        need = self.num_batch_per_iter * self.batch_size
+        out: Dict[int, np.ndarray] = {}
+        for k in self.k_list:
+            p = self.pointer[k]
+            n = len(self.order[k])
+            if p + need <= n:
+                idx = self.order[k][p:p + need]
+                self.pointer[k] = p + need
+            else:
+                head = self.order[k][p:n]
+                self._shuffle(k)
+                left = need - (n - p)
+                idx = np.concatenate([head, self.order[k][:left]])
+                self.pointer[k] = left
+            out[k] = idx.reshape(self.num_batch_per_iter, self.batch_size)
+        return out
+
+    def next_epoch_indices(self) -> Dict[int, np.ndarray]:
+        """One epoch's draw as int32 indices into the pinned base arrays
+        (the device-resident epoch path gathers on device)."""
+        return {k: v.astype(np.int32) for k, v in self._draw_indices().items()}
+
+    def skip_epoch(self) -> None:
+        """Advance the ring state without materializing the draw (resume
+        fast-forward)."""
+        self._draw_indices()
 
     def next_epoch(self) -> Buckets:
         """Draw one epoch: per k, arrays of shape (num_batch, batch, k) and
         (num_batch, batch).  Wraps + reshuffles per ring (ref :653-681)."""
-        need = self.num_batch_per_iter * self.batch_size
+        idxs = self._draw_indices()
         out: Buckets = {}
         for k in self.k_list:
-            p = self.pointer[k]
-            n = len(self.edges[k])
-            if p + need <= n:
-                e = self.edges[k][p:p + need]
-                w = self.weights[k][p:p + need]
-                self.pointer[k] = p + need
-            else:
-                head_e, head_w = self.edges[k][p:n], self.weights[k][p:n]
-                self._shuffle(k)
-                left = need - (n - p)
-                e = np.concatenate([head_e, self.edges[k][:left]])
-                w = np.concatenate([head_w, self.weights[k][:left]])
-                self.pointer[k] = left
-            out[k] = (e.reshape(self.num_batch_per_iter, self.batch_size, k),
-                      w.reshape(self.num_batch_per_iter, self.batch_size))
+            idx = idxs[k].reshape(-1)
+            out[k] = (self.base_edges[k][idx].reshape(
+                          self.num_batch_per_iter, self.batch_size, k),
+                      self.base_weights[k][idx].reshape(
+                          self.num_batch_per_iter, self.batch_size))
         return out
+
+    def base_nbytes(self) -> int:
+        """HBM cost of pinning the base arrays (Trainer budget check)."""
+        return sum(self.base_edges[k].nbytes + self.base_weights[k].nbytes
+                   for k in self.k_list)

@@ -83,14 +83,21 @@ def clusters_to_list(flat: np.ndarray, offsets: np.ndarray) -> list:
             for i in range(len(offsets) - 1)]
 
 
-def save_edge_list(temp_dir: str, flat: np.ndarray, offsets: np.ndarray) -> None:
-    """Persist both the CSR arrays and a reference-layout ``edge_list.npy``."""
+def save_edge_list(temp_dir: str, flat: np.ndarray, offsets: np.ndarray,
+                   ragged: str = "auto") -> None:
+    """Persist the CSR arrays and (optionally) a reference-layout
+    ``edge_list.npy``.  The ragged object array exists only for interop with
+    reference-produced/consumed temp dirs; at 4DN scale (10M+ clusters) the
+    pickle costs minutes and GBs, so ``ragged="auto"`` skips it above 2M
+    clusters (``"on"``/``"off"`` force)."""
     os.makedirs(temp_dir, exist_ok=True)
     np.save(os.path.join(temp_dir, "edge_members.npy"), flat)
     np.save(os.path.join(temp_dir, "edge_offsets.npy"), offsets)
-    ragged = np.empty(len(offsets) - 1, dtype=object)
-    ragged[:] = clusters_to_list(flat, offsets)
-    np.save(os.path.join(temp_dir, "edge_list.npy"), ragged)
+    n_clusters = len(offsets) - 1
+    if ragged == "on" or (ragged == "auto" and n_clusters <= 2_000_000):
+        arr = np.empty(n_clusters, dtype=object)
+        arr[:] = clusters_to_list(flat, offsets)
+        np.save(os.path.join(temp_dir, "edge_list.npy"), arr)
 
 
 def load_edge_list(temp_dir: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -79,7 +79,8 @@ def run_process(config: Config) -> GenomeBins:
     genome.save(config.temp_dir)
     flat, offsets = parse_clusters(config.cluster_path, genome,
                                    config.max_cluster_size)
-    save_edge_list(config.temp_dir, flat, offsets)
+    save_edge_list(config.temp_dir, flat, offsets,
+                   ragged=config.ragged_edge_list)
     intra, inter = parse_mcool_contacts(config.mcool_path, genome)
     save_contacts(config.temp_dir, intra, inter)
     return genome

@@ -486,6 +486,28 @@ class Trainer:
                        for k in full}
             return jax.lax.scan(step, state, stacked)
 
+        @partial(jax.jit, donate_argnums=0, static_argnames=("has_blooms",))
+        def epoch_indexed_fn(state, idxs, full, frozen, table, blooms,
+                             has_blooms):
+            """One epoch from host-drawn batch INDICES into HBM-pinned base
+            buckets (see BucketedBatcher.next_epoch_indices): one bulk device
+            gather per bucket, then the scanned step stream.  The batches are
+            bitwise the ones train_epoch's host path stages, at ~4 B/row of
+            PCIe traffic instead of the rows themselves — this is the path
+            `fit` runs whenever the buckets fit the HBM pin budget, so the
+            shipped trainer IS the benched trainer (bench.py drives this same
+            program)."""
+            stacked = {k: (full[k][0][idxs[k]], full[k][1][idxs[k]])
+                       for k in full}
+            if mesh is not None:
+                from matcha_tpu.parallel.mesh import batch_sharding
+                stacked = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, batch_sharding(mesh, x.ndim)), stacked)
+            step = train_step_with(frozen, table,
+                                   blooms if has_blooms else None)
+            return jax.lax.scan(step, state, stacked)
+
         @partial(jax.jit, static_argnames=("has_blooms",))
         def eval_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):
             def eval_step(state: TrainState, batch):
@@ -537,13 +559,24 @@ class Trainer:
                                        self.chrom_table, self.blooms or {},
                                        steps, batch, self.blooms is not None)
 
+        def run_epoch_indexed(state, idxs, full):
+            with using_active_mesh(kmesh):
+                return epoch_indexed_fn(state, idxs, full, self.frozen,
+                                        self.chrom_table, self.blooms or {},
+                                        self.blooms is not None)
+
         self._train_epoch_fn = run_train_epoch
         self._eval_epoch_fn = run_eval_epoch
         self._eval_mixed_fn = run_eval_mixed
         self._device_epoch_fn = run_device_epoch
+        self._epoch_indexed_fn = run_epoch_indexed
         self._train_epoch_jit = train_epoch_fn     # raw jitted fns (lowering
         self._device_epoch_jit = device_epoch_fn   # / AOT-compile hooks)
+        self._epoch_indexed_jit = epoch_indexed_fn
         self._dev_buckets = None
+        self._pinned_buckets = None
+        self._pinned_shape = None
+        self._idx_prefetch = None
 
     # ------------------------------------------------------------- epochs
     def _place_batch(self, stacked):
@@ -618,6 +651,87 @@ class Trainer:
                   for k in self._dev_buckets}
         return self._epoch_result(aux, shapes, elapsed=elapsed)
 
+    # ------------------------------------------ indexed device-resident path
+    def pin_base_buckets(self, batcher: BucketedBatcher,
+                         budget_bytes: Optional[int] = None) -> bool:
+        """Pin the batcher's (duplicated) base bucket arrays in HBM for
+        indexed device-resident epochs (train_epoch_indexed): each epoch then
+        transfers only the host-drawn INDICES (~4 B/row) and gathers the rows
+        on device — the BucketedBatcher host path re-stages the rows
+        themselves and costs 10-20 ms/step of host work at bench scale.
+        Returns False (no pin) when the arrays exceed the budget
+        (MATCHA_PIN_BUDGET_MB, default 4096); callers fall back to
+        train_epoch.  Under a mesh the base arrays are replicated (they are
+        small relative to the frozen tables) and the gathered batches are
+        sharding-constrained onto the "data" axis."""
+        if budget_bytes is None:
+            budget_bytes = int(os.environ.get(
+                "MATCHA_PIN_BUDGET_MB", 4096)) << 20
+        if batcher.base_nbytes() > budget_bytes:
+            return False
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from matcha_tpu.parallel.distributed import put_global
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            place = lambda a: put_global(jnp.asarray(a), rep)  # noqa: E731
+        else:
+            place = jnp.asarray
+        self._pinned_buckets = {
+            int(k): (place(batcher.base_edges[k]),
+                     place(batcher.base_weights[k]))
+            for k in batcher.k_list}
+        self._pinned_shape = (batcher.num_batch_per_iter, batcher.batch_size)
+        return True
+
+    def _place_indices(self, idxs):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in idxs.items()}
+        from matcha_tpu.parallel.distributed import put_global
+        from matcha_tpu.parallel.mesh import batch_sharding
+        return {k: put_global(v, batch_sharding(self.mesh, v.ndim))
+                for k, v in idxs.items()}
+
+    def train_epoch_indexed_launch(self, batcher: BucketedBatcher):
+        """Dispatch one indexed device-resident epoch WITHOUT blocking;
+        returns the on-device aux dict.  The batch stream is bitwise the one
+        train_epoch(batcher) would stage (same ring state, same rows).
+
+        The NEXT epoch's indices are drawn and device_put immediately after
+        the dispatch, so their host->device transfer (a few MB) overlaps this
+        epoch's compute instead of serializing in front of the next launch —
+        on a high-latency device link the serial transfer alone was ~40% of
+        an epoch.  The extra ring advance is invisible to the consumed
+        stream (draws are consumed in order)."""
+        assert self._pinned_buckets is not None, "call pin_base_buckets"
+        if self._idx_prefetch is not None and \
+                self._idx_prefetch[0] is batcher:
+            idxs = self._idx_prefetch[1]
+        else:
+            idxs = self._place_indices(batcher.next_epoch_indices())
+        self.state, aux = self._epoch_indexed_fn(self.state, idxs,
+                                                 self._pinned_buckets)
+        self._idx_prefetch = (
+            batcher, self._place_indices(batcher.next_epoch_indices()))
+        return aux
+
+    def _finish_indexed(self, aux, elapsed):
+        aux = self._gather_aux(aux)
+        _, bs = self._pinned_shape
+        shapes = {k: (np.zeros((bs, k), np.int32), None)
+                  for k in self._pinned_buckets}
+        return self._epoch_result(aux, shapes, elapsed=elapsed)
+
+    def train_epoch_indexed(self, batcher: BucketedBatcher):
+        """One epoch over the pinned base buckets with host-drawn indices.
+        elapsed (and the reported hyperedges/s) is scalar-synced on epoch
+        completion; the per-step prediction fetch happens after the clock
+        stops (it overlaps the next dispatch on a pipelined driver)."""
+        t0 = time.time()
+        aux = self.train_epoch_indexed_launch(batcher)
+        jax.block_until_ready(aux["bce"])
+        elapsed = time.time() - t0
+        return self._finish_indexed(aux, elapsed)
+
     def lower_train_epoch(self, stacked):
         """Lower (don't run) the jitted train epoch for the current mesh and
         a host epoch-batch dict — the inspection hook behind
@@ -628,6 +742,18 @@ class Trainer:
             return self._train_epoch_jit.lower(
                 self.state, stacked, self.frozen, self.chrom_table,
                 self.blooms or {}, self.blooms is not None)
+
+    def lower_epoch_indexed(self, batcher: BucketedBatcher):
+        """Same inspection hook for the indexed device-resident epoch
+        (requires pin_base_buckets first)."""
+        from matcha_tpu.parallel.mesh import using_active_mesh
+        assert self._pinned_buckets is not None, "call pin_base_buckets"
+        idxs = self._place_indices(batcher.next_epoch_indices())
+        with using_active_mesh(self._kernel_mesh):
+            return self._epoch_indexed_jit.lower(
+                self.state, idxs, self._pinned_buckets, self.frozen,
+                self.chrom_table, self.blooms or {},
+                self.blooms is not None)
 
     def _epoch_result(self, aux, stacked_or_shapes, elapsed=None):
         """Shared host-side epoch result assembly: labels reconstructed
@@ -781,9 +907,18 @@ class Trainer:
             profile_dir: Optional[str] = None,
             embeddings_path: Optional[str] = None,
             checkpoint_format: str = "pickle",
-            resume_path: Optional[str] = None, resume: bool = False):
+            resume_path: Optional[str] = None, resume: bool = False,
+            device_epochs: str = "auto"):
         """One stage of the schedule; returns history.  Checkpoints when the
         largest size's validation AUPRC improves (ref Code/main.py:313-322).
+
+        device_epochs: "auto" pins the bucket base arrays in HBM and runs the
+          indexed device-resident epoch path (train_epoch_indexed — the
+          program bench.py measures) whenever they fit the pin budget,
+          falling back to the host BucketedBatcher path; "on" requires the
+          pin (raises over budget); "off" forces the host path.  Both paths
+          draw bitwise-identical batch streams (same ring state), pinned by
+          tests/test_pipeline_e2e.py.  MATCHA_DEVICE_EPOCHS overrides "auto".
 
         checkpoint_format:
           "pickle" — single-file host pickle (artifact parity with the
@@ -810,6 +945,18 @@ class Trainer:
                              if len(v[0]) > 0}
         batcher = BucketedBatcher(train_buckets, batch_size,
                                   num_batch_per_iter, seed=seed)
+        if device_epochs == "auto":
+            device_epochs = os.environ.get("MATCHA_DEVICE_EPOCHS", "auto")
+        use_indexed = False
+        if device_epochs != "off":
+            use_indexed = self.pin_base_buckets(batcher)
+            if device_epochs == "on" and not use_indexed:
+                raise ValueError("device_epochs='on' but the bucket base "
+                                 "arrays exceed the HBM pin budget "
+                                 "(MATCHA_PIN_BUDGET_MB)")
+            if not use_indexed:
+                log("bucket base arrays exceed the HBM pin budget; using the "
+                    "host batcher path")
         max_k = max(train_buckets.keys())
         # -inf, not 0.0: classification AUPRC is >= 0 so the first epoch
         # always checkpoints either way (matching ref Code/main.py:313-322's
@@ -838,9 +985,10 @@ class Trainer:
                 # completed epochs so the ring/shuffle state matches the
                 # uninterrupted run's
                 for _ in range(start_epoch):
-                    batcher.next_epoch()
+                    batcher.skip_epoch()
                 log(f"resumed from {resume_path}: continuing at epoch "
                     f"{start_epoch} (best {best:.4f})")
+        import contextlib
         for epoch in range(start_epoch, epochs):
             if embeddings_path is not None:
                 # per-epoch embedding export (ref Code/main.py:275)
@@ -848,12 +996,28 @@ class Trainer:
             if profile_dir is not None and epoch == 1:
                 # trace the first steady-state epoch (epoch 0 pays compile)
                 from matcha_tpu.utils import profile_trace
-                with profile_trace(profile_dir):
-                    tr = self.train_epoch(batcher)
+                prof = profile_trace(profile_dir)
             else:
-                tr = self.train_epoch(batcher)
-            ev = self.eval_epoch(test_buckets, batch_size=batch_size,
-                                 seed=seed + epoch)
+                prof = contextlib.nullcontext()
+            if use_indexed:
+                with prof:
+                    t0 = time.time()
+                    aux = self.train_epoch_indexed_launch(batcher)
+                    jax.block_until_ready(aux["bce"])
+                    elapsed = time.time() - t0
+                # start the (big) per-step prediction fetch now so the host
+                # copy overlaps eval's device compute
+                if jax.process_count() <= 1:
+                    for leaf in jax.tree_util.tree_leaves(aux):
+                        leaf.copy_to_host_async()
+                ev = self.eval_epoch(test_buckets, batch_size=batch_size,
+                                     seed=seed + epoch)
+                tr = self._finish_indexed(aux, elapsed)
+            else:
+                with prof:
+                    tr = self.train_epoch(batcher)
+                ev = self.eval_epoch(test_buckets, batch_size=batch_size,
+                                     seed=seed + epoch)
             roc, aupr, acc = format_metrics(tr["metrics"])
             fb = ""
             if tr["fallback_bloom_rate"] or tr["fallback_orig_rate"]:

@@ -232,3 +232,30 @@ def test_run_train_config_mesh_and_table_dtype(tmp_path):
     assert dict(trainer.mesh.shape) == {"data": 2, "model": 1}
     assert trainer.frozen.inter_z.dtype == jnp.bfloat16
     assert np.isfinite(history[-1]["valid"]["bce"])
+
+
+def test_indexed_epoch_matches_host_on_mesh(problem):
+    """Device-resident (indexed) epochs under a data mesh: pinned replicated
+    base buckets + sharded on-device gathers produce the same trajectory as
+    the host-staged path on the same mesh (VERDICT r3 #6)."""
+    genome, dims, params, frozen, table, buckets = problem
+    settings = TrainSettings(alpha=1.0, beta=0.001)
+    train_b = buckets(21)
+    blooms = build_bloom_dict({k: v[0] for k, v in train_b.items()})
+    mesh = make_mesh(4, 2)
+
+    from matcha_tpu.data.batcher import BucketedBatcher
+    t1 = Trainer(params, frozen, dims, table, settings, blooms, seed=7,
+                 mesh=mesh)
+    t2 = Trainer(params, frozen, dims, table, settings, blooms, seed=7,
+                 mesh=mesh)
+    b1 = BucketedBatcher(train_b, batch_size=16, num_batch_per_iter=3, seed=3)
+    b2 = BucketedBatcher(train_b, batch_size=16, num_batch_per_iter=3, seed=3)
+    r1 = t1.train_epoch(b1)
+    assert t2.pin_base_buckets(b2)
+    r2 = t2.train_epoch_indexed(b2)
+    assert abs(r1["bce"] - r2["bce"]) < 1e-6
+    assert abs(r1["recon"] - r2["recon"]) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(t1.state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(t2.state.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

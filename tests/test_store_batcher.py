@@ -56,7 +56,7 @@ def test_batcher_covers_all_and_reshuffles(rng):
     b = BucketedBatcher({2: (edges, w)}, batch_size=8, num_batch_per_iter=3,
                         seed=0)
     # bucket was duplicated until > 24 (ref Code/Modules.py:638-641)
-    assert len(b.edges[2]) > 24
+    assert len(b.base_edges[2]) > 24
     epoch1 = b.next_epoch()[2]
     assert epoch1[0].shape == (3, 8, 2)
     assert epoch1[1].shape == (3, 8)

@@ -120,3 +120,39 @@ def test_sharded_epoch_has_no_stream_collectives(problem):
                   + per_step.get("collective-permute", 0)
                   + per_step.get("all-to-all", 0))
     assert resharding < 1_000_000, per_step
+
+
+def test_indexed_sharded_epoch_has_no_stream_collectives(problem):
+    """The indexed device-resident epoch under a data mesh keeps the same
+    <1 MB/step collective budget: the on-device bulk gather (replicated base,
+    data-sharded indices) is local per shard, and the gathered batches are
+    constrained straight onto the "data" axis."""
+    from matcha_tpu.data.batcher import BucketedBatcher
+    from matcha_tpu.parallel.mesh import make_mesh
+    from matcha_tpu.sampler.bloom import build_bloom_dict
+    from matcha_tpu.sampler.negative import ChromTable
+    from matcha_tpu.train.runtime import Trainer, TrainSettings
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from comm_budget import collect
+
+    genome, dims, params, frozen = problem
+    mesh = make_mesh(8, 1)
+    rng = np.random.default_rng(4)
+    n_nodes = int(genome.num_nodes)
+    buckets = {k: (rng.integers(1, n_nodes + 1, size=(256, k))
+                   .astype(np.int32),
+                   rng.random(256).astype(np.float32)) for k in (2, 3)}
+    blooms = build_bloom_dict({k: v[0] for k, v in buckets.items()})
+    tr = Trainer(params, frozen, dims, ChromTable.from_genome(genome),
+                 TrainSettings(alpha=1.0, beta=0.001), blooms=blooms,
+                 mesh=mesh)
+    batcher = BucketedBatcher(buckets, batch_size=64, num_batch_per_iter=2)
+    assert tr.pin_base_buckets(batcher)
+    hlo = tr.lower_epoch_indexed(batcher).compile().as_text()
+    per_step, _ = collect(hlo)
+    resharding = (per_step.get("all-gather", 0)
+                  + per_step.get("collective-permute", 0)
+                  + per_step.get("all-to-all", 0))
+    assert resharding < 1_000_000, per_step
