@@ -45,21 +45,66 @@ def _count_rows(kmers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return sk[first], counts
 
 
-def _merge_counts(a: Tuple[np.ndarray, np.ndarray],
-                  b: Tuple[np.ndarray, np.ndarray],
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Merge two (unique_rows, counts) pairs (rows may overlap)."""
-    rows = np.concatenate([a[0], b[0]], axis=0)
-    cnt = np.concatenate([a[1], b[1]])
-    if rows.shape[0] == 0:
-        return rows, cnt
+def _pack_bits(parts, k: int) -> int:
+    """Bits per member id so k ids pack into one u64 key (lexicographic
+    order preserved), or 0 when they don't fit."""
+    mx = 0
+    for rows, _ in parts:
+        if rows.shape[0]:
+            mx = max(mx, int(rows.max()))
+    bits = max(int(mx).bit_length(), 1)
+    return bits if k * bits <= 64 else 0
+
+
+def _pack_rows(rows: np.ndarray, bits: int) -> np.ndarray:
+    out = np.zeros(rows.shape[0], np.uint64)
+    for c in range(rows.shape[1]):
+        out <<= np.uint64(bits)
+        out |= rows[:, c].astype(np.uint64)
+    return out
+
+
+def _unpack_rows(keys: np.ndarray, k: int, bits: int) -> np.ndarray:
+    rows = np.empty((keys.shape[0], k), np.int32)
+    mask = np.uint64((1 << bits) - 1)
+    for c in range(k - 1, -1, -1):
+        rows[:, c] = (keys & mask).astype(np.int32)
+        keys = keys >> np.uint64(bits)
+    return rows
+
+
+def _merge_many(parts) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge a list of (unique_rows, counts) pairs (rows may overlap across
+    pairs).  When the ids pack into u64 keys (k*bits <= 64 — true for every
+    genome up to ~16M nodes at k=4 / 4096 nodes at k=5), one packed
+    sort+reduceat replaces the per-pair (N, k) lexsorts: at 4DN scale
+    (~10^9 rows) the lexsort path is hours, the packed path is minutes."""
+    parts = [p for p in parts if p[0].shape[0]] or parts[:1]
+    if len(parts) == 1:
+        return parts[0]
+    k = parts[0][0].shape[1]
+    bits = _pack_bits(parts, k)
+    if bits:
+        keys = np.concatenate([_pack_rows(p[0], bits) for p in parts])
+        cnt = np.concatenate([p[1] for p in parts])
+        order = np.argsort(keys, kind="stable")
+        keys, cnt = keys[order], cnt[order]
+        first = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+        return _unpack_rows(keys[first], k, bits), np.add.reduceat(cnt, first)
+    rows = np.concatenate([p[0] for p in parts], axis=0)
+    cnt = np.concatenate([p[1] for p in parts])
     order = np.lexsort(rows.T[::-1])
     rows, cnt = rows[order], cnt[order]
     change = np.any(rows[1:] != rows[:-1], axis=1)
     first = np.flatnonzero(np.concatenate([[True], change]))
-    seg = np.concatenate([first, [rows.shape[0]]])
-    merged = np.add.reduceat(cnt, first)
-    return rows[first], merged
+    return rows[first], np.add.reduceat(cnt, first)
+
+
+def _merge_counts(a: Tuple[np.ndarray, np.ndarray],
+                  b: Tuple[np.ndarray, np.ndarray],
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge two (unique_rows, counts) pairs (rows may overlap)."""
+    return _merge_many([a, b])
 
 
 def count_kmers(flat: np.ndarray, offsets: np.ndarray, k: int,
@@ -180,12 +225,11 @@ def merge_kmer_shards(k_list, *, shard_count: int, temp_dir: str,
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for k in k_list:
         k = int(k)
-        acc: Tuple[np.ndarray, np.ndarray] | None = None
+        parts = []
         for i in range(shard_count):
             kp, fp = _shard_paths(temp_dir, k, i, shard_count)
-            part = (np.load(kp), np.load(fp).astype(np.int64))
-            acc = part if acc is None else _merge_counts(acc, part)
-        kmers, freqs = acc if acc is not None else (
+            parts.append((np.load(kp), np.load(fp).astype(np.int64)))
+        kmers, freqs = _merge_many(parts) if parts else (
             np.zeros((0, k), dtype=np.int32), np.zeros((0,), dtype=np.int64))
         keep = freqs >= min_freq_cutoff
         kmers, freqs = kmers[keep], freqs[keep]

@@ -89,6 +89,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from matcha_tpu.config import Config
     from matcha_tpu.pipeline import resolve_perf
     cfg = Config()
