@@ -405,10 +405,13 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     b, L = x.shape
     npm = (x != 0).astype(jnp.float32)[..., None]      # (B, L, 1)
 
-    emb = node_table[x]                                # (B, L, d) gather
-    attr = frozen.attr_table[x].astype(dims.cdt)
-    attr = linear(params["attr_nn"], attr)
-    h = tanh(feed_forward(params["next_w"], emb + attr))
+    # node + projected-attribute tables are combined per NODE before the
+    # token gather: node_table[x] + linear(attr_table[x]) == combined[x]
+    # exactly (same per-row values), and the (T, C+1) attribute gather +
+    # (T, C+1)@(C+1, d) matmul drop out of the per-token hot path
+    combined = node_table + linear(params["attr_nn"],
+                                   frozen.attr_table.astype(dims.cdt))
+    h = tanh(feed_forward(params["next_w"], combined[x]))
 
     dynamic, static = encoder_layer(
         params["encoder"], h, npm.astype(h.dtype), dims.n_head, dims.dim,
@@ -483,27 +486,32 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     mesh = active_data_mesh()      # pure-DP mesh for Pallas shard_map wraps
     T_tok = int(flat.shape[0])
 
+    # node + projected-attribute tables combined per NODE before the token
+    # gather (see `forward`): ONE (T, d) gather replaces the node gather,
+    # the (T, C+1) attribute gather, and the per-token attr matmul; the
+    # attr_nn gradient arrives through the combined table's scatter-add
+    # transpose followed by one (C+1, N+1)@(N+1, d) matmul
+    combined = node_table + linear(params["attr_nn"],
+                                   frozen.attr_table.astype(dims.cdt))
     if dims.use_pallas_attention and jax.default_backend() != "cpu":
         # MXU one-hot-matmul VJP: the XLA scatter-add grad of this gather is
         # latency-bound random RMW (~1.6 ms/step at bench scale) — see
         # ops/table_scatter.py.  Under a data mesh the kernel is
         # shard_mapped (no GSPMD rule for Pallas custom calls); the
-        # replicated node_table is pcast-to-varying so its gradient
+        # replicated table is pcast-to-varying so its gradient
         # partials psum in the transpose.
         from matcha_tpu.ops.table_scatter import (table_gather,
                                                   table_gather_sharded)
         from matcha_tpu.parallel.mesh import kernel_batch_factor
         if mesh is not None and T_tok % kernel_batch_factor(mesh) == 0:
-            emb = table_gather_sharded(node_table, flat, mesh)
+            emb_attr = table_gather_sharded(combined, flat, mesh)
         elif mesh is not None:
-            emb = node_table[flat]
+            emb_attr = combined[flat]
         else:
-            emb = table_gather(node_table, flat)                 # (T, d)
+            emb_attr = table_gather(combined, flat)              # (T, d)
     else:
-        emb = node_table[flat]                                   # (T, d)
-    attr = frozen.attr_table[flat].astype(dims.cdt)
-    attr = linear(params["attr_nn"], attr)
-    h = tanh(feed_forward(params["next_w"], emb + attr))         # (T, d)
+        emb_attr = combined[flat]                                # (T, d)
+    h = tanh(feed_forward(params["next_w"], emb_attr))           # (T, d)
 
     from matcha_tpu.models.modules import mha_dynamic
     keys_enc = (jax.random.split(k_enc, len(ks) + 1)
@@ -532,7 +540,7 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     attn_drop = 0.0 if use_fused_tail else 0.3
     if attention_mode == "pad-max" and len(shapes) > 1:
         dyn = _attention_pad_max(params, frozen, dims, h, shapes, keys_enc,
-                                 train, node_table, n_shards,
+                                 train, combined, n_shards,
                                  drop_rate=attn_drop)
     else:
         # per-bucket attention on static slices of the stream
@@ -594,18 +602,18 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
 
 
 def _attention_pad_max(params, frozen, dims, h, shapes, keys_enc, train,
-                       node_table, n_shards=1, drop_rate=0.3):
+                       combined, n_shards=1, drop_rate=0.3):
     """pad-max attention over the merged stream (see forward_buckets):
     k=2 closed form; k>=3 padded to L with the pad token's h and run as one
-    batched attention; real positions scattered back into the stream."""
-    from matcha_tpu.models.modules import linear as _linear
+    batched attention; real positions scattered back into the stream.
+
+    combined: the node + projected-attribute table (see forward_buckets);
+    its row 0 is the pad token's pre-next_w input."""
     from matcha_tpu.models.modules import mha_dynamic
     from matcha_tpu.parallel.stream import shard_concat, shard_split
     L = max(k for _, k in shapes)
     # h of the pad token (node id 0): zero embedding row + attr row 0
-    pad_in = (node_table[0] + _linear(
-        params["attr_nn"], frozen.attr_table[0].astype(dims.cdt)))
-    h_pad = tanh(feed_forward(params["next_w"], pad_in[None, :]))  # (1, d)
+    h_pad = tanh(feed_forward(params["next_w"], combined[0][None, :]))  # (1,d)
 
     dyn_parts = []
     padded = []
