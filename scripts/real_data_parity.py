@@ -61,8 +61,9 @@ def load_bands(rng, cap, bands=None):
     names = set(z.namelist())
     all_edges = {}      # full universe per size (membership sets)
     buckets = {}        # capped train material per size
+    band_labels = {}    # per-row band name, aligned with buckets[size]
     for size in (3, 4, 5):
-        rows, ws = [], []
+        rows, ws, bl = [], [], []
         for thresh in (bands if bands is not None else BANDS):
             if isinstance(thresh, list):
                 if size == 3 and thresh[0] <= 5:
@@ -79,19 +80,22 @@ def load_bands(rng, cap, bands=None):
             e = np.asarray(list(e), dtype=np.int64)
             rows.append(e)
             ws.append(np.asarray(w, np.float32).reshape(-1)[: len(e)])
+            bl.append(np.full(len(e), nm, dtype=object))
         if not rows:
             continue
         e = np.concatenate(rows)
         w = np.concatenate(ws)
+        b = np.concatenate(bl)
         # distinct sorted members (the invariant the sampler requires;
         # ref main_SPRITE.py:646-647 documents ids must be sorted)
         e.sort(axis=1)
         ok = (np.diff(e, axis=1) > 0).all(axis=1)
-        e, w = e[ok], w[ok]
+        e, w, b = e[ok], w[ok], b[ok]
         all_edges[size] = e.astype(np.int32)
-        sel = rng.permutation(len(e))[:cap]
+        sel = rng.permutation(len(e))[:cap] if cap else rng.permutation(len(e))
         buckets[size] = (e[sel].astype(np.int32), w[sel])
-    return all_edges, buckets
+        band_labels[size] = b[sel]
+    return all_edges, buckets, band_labels
 
 
 def node_space():
@@ -106,14 +110,17 @@ def node_space():
     return counts, names
 
 
-def split_5050(buckets, rng):
+def split_5050(buckets, rng, band_labels=None):
     train, test = {}, {}
+    test_bands = {}
     for k, (e, w) in sorted(buckets.items()):
         idx = rng.permutation(len(e))
         s = len(idx) // 2                       # ref :688
         train[k] = (e[idx[:s]], w[idx[:s]])
         test[k] = (e[idx[s:]], w[idx[s:]])
-    return train, test
+        if band_labels is not None:
+            test_bands[k] = band_labels[k][idx[s:]]
+    return train, test, test_bands
 
 
 def normalize_weights(train, test, neg_num=3):
@@ -148,7 +155,7 @@ def jax_train(space, dims, params, frozen, table, train_b, test_b, all_edges,
     hist = tr2.fit(train_b, test_b, epochs=stage2_epochs, batch_size=batch,
                    num_batch_per_iter=steps, log=lambda *_: None,
                    seed=seed + 1)
-    return hist[-1]["valid"]["metrics"], time.time() - t0
+    return hist[-1]["valid"]["metrics"], time.time() - t0, tr2
 
 
 # ---------------------------------------------------------------- torch side
@@ -220,13 +227,80 @@ def torch_train(space, intra, inter, train_b, test_b, all_edges, *,
     metrics = size_stratified_metrics(np.concatenate(ys),
                                       np.concatenate(preds),
                                       np.concatenate(sizes))
-    return metrics, elapsed
+    return metrics, elapsed, model
 
 
 def fmt(m):
     keys = ["all"] + sorted(k for k in m if k != "all")
     return "  ".join(f"{k}: auroc {m[k]['auroc']:.3f} "
                      f"auprc {m[k]['auprc']:.3f}" for k in keys)
+
+
+def shared_eval(trainer, tmodel, space, test_b, test_bands, all_edges,
+                rng, cap_per_cell=20_000):
+    """Per-(band, size) parity table on IDENTICAL eval sets: for every band
+    x size cell, the SAME positives and the SAME reference-sampled negatives
+    (baseline_torch.reference_generate_negative — the reference's own
+    corruption + rejection semantics) are scored by both trained models, so
+    the only degrees of freedom left are the learned parameters.
+    Returns {(band, size): {"jax": (auroc, auprc), "torch": ...}, n}."""
+    import torch
+    from baseline_torch import reference_generate_negative
+    from sklearn.metrics import average_precision_score, roc_auc_score
+
+    import jax
+    import jax.numpy as jnp
+    from matcha_tpu.models.hypersagnn import encode_node_table, forward
+
+    member_sets = {i: set() for i in range(max(all_edges) + 1)}
+    for k, e in all_edges.items():
+        member_sets[k] = set(map(tuple, e.tolist()))
+
+    params, frozen, dims = trainer.state.params, trainer.frozen, trainer.dims
+    node_table = encode_node_table(params, frozen, dims, train=False)
+
+    @jax.jit
+    def jax_logits(x):
+        return forward(params, frozen, dims, x, train=False,
+                       node_table=node_table)
+
+    out = {}
+    agg = {"jax": ([], []), "torch": ([], [])}
+    tmodel.eval()
+    for size in sorted(test_b):
+        e, _ = test_b[size]
+        bands_here = test_bands[size]
+        for band in sorted(set(bands_here.tolist())):
+            pos = e[bands_here == band]
+            if len(pos) > cap_per_cell:
+                pos = pos[rng.permutation(len(pos))[:cap_per_cell]]
+            if len(pos) < 10:
+                continue
+            neg = reference_generate_negative(
+                pos.astype(np.int64), member_sets, space, min_dis=0,
+                neg_num=3)
+            x = np.concatenate([pos.astype(np.int64), neg])
+            y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+            with torch.no_grad():
+                pt = torch.sigmoid(tmodel(torch.from_numpy(x))
+                                   ).numpy().reshape(-1)
+            pj = np.asarray(jax.nn.sigmoid(
+                jax_logits(jnp.asarray(x, jnp.int32)))).reshape(-1)
+            cell = {}
+            for nm, p in (("jax", pj), ("torch", pt)):
+                cell[nm] = (roc_auc_score(y, p),
+                            average_precision_score(y, p))
+                agg[nm][0].append(y)
+                agg[nm][1].append(p)
+            cell["n_pos"] = len(pos)
+            out[(band, size)] = cell
+    for nm in ("jax", "torch"):
+        y = np.concatenate(agg[nm][0])
+        p = np.concatenate(agg[nm][1])
+        out[("all", "all")] = out.get(("all", "all"), {})
+        out[("all", "all")][nm] = (roc_auc_score(y, p),
+                                   average_precision_score(y, p))
+    return out
 
 
 def main():
@@ -237,7 +311,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--cap", type=int, default=4000,
-                    help="max tuples per size (runtime control)")
+                    help="max tuples per size (runtime control); 0 = no cap "
+                         "(the full bundled dataset)")
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--n-head", type=int, default=4)
     ap.add_argument("--stage1-epochs", type=int, default=2)
@@ -255,10 +330,10 @@ def main():
                                          build_generic_problem)
 
     rng = np.random.default_rng(args.seed)
-    all_edges, buckets = load_bands(
+    all_edges, buckets, band_labels = load_bands(
         rng, args.cap, bands=["upper"] if args.protocol == "upper" else None)
     counts, names = node_space()
-    train_b, test_b = split_5050(buckets, rng)
+    train_b, test_b, test_bands = split_5050(buckets, rng, band_labels)
     train_b, test_b = normalize_weights(train_b, test_b)
     print("sizes:", {k: (len(train_b[k][0]), len(test_b[k][0]))
                      for k in sorted(train_b)},
@@ -276,24 +351,55 @@ def main():
     np.cumsum(sizes, out=offsets[1:])
     intra, inter = adjacency_features(space, flat, offsets)
 
-    jm, jt = jax_train(space, dims, params, frozen, table, train_b, test_b,
-                       all_edges, stage1_epochs=args.stage1_epochs,
-                       stage2_epochs=args.stage2_epochs, steps=args.steps,
-                       batch=args.batch, seed=args.seed)
-    print(f"jax   ({jt:6.1f}s): {fmt(jm)}")
+    jm, jt, jtr = jax_train(space, dims, params, frozen, table, train_b,
+                            test_b, all_edges,
+                            stage1_epochs=args.stage1_epochs,
+                            stage2_epochs=args.stage2_epochs,
+                            steps=args.steps, batch=args.batch,
+                            seed=args.seed)
+    print(f"jax   ({jt:6.1f}s): {fmt(jm)}", flush=True)
 
-    tm, tt = torch_train(space, intra, inter, train_b, test_b, all_edges,
-                         dim=args.dim, n_head=args.n_head,
-                         stage1_epochs=args.stage1_epochs,
-                         stage2_epochs=args.stage2_epochs, steps=args.steps,
-                         batch=args.batch, seed=args.seed)
-    print(f"torch ({tt:6.1f}s): {fmt(tm)}")
+    tm, tt, tmodel = torch_train(space, intra, inter, train_b, test_b,
+                                 all_edges, dim=args.dim,
+                                 n_head=args.n_head,
+                                 stage1_epochs=args.stage1_epochs,
+                                 stage2_epochs=args.stage2_epochs,
+                                 steps=args.steps, batch=args.batch,
+                                 seed=args.seed)
+    print(f"torch ({tt:6.1f}s): {fmt(tm)}", flush=True)
 
     gap = {k: jm[k]["auroc"] - tm[k]["auroc"] for k in jm if k in tm}
     print(json.dumps({"auroc_gap_jax_minus_torch":
                       {str(k): round(v, 4) for k, v in gap.items()},
                       "jax_wall_s": round(jt, 1),
-                      "torch_wall_s": round(tt, 1)}))
+                      "torch_wall_s": round(tt, 1)}), flush=True)
+
+    # per-(band, size) table on shared eval sets (VERDICT r3 #5)
+    cells = shared_eval(jtr, tmodel, space, test_b, test_bands, all_edges,
+                        rng)
+    print("\nper-(band, size) on SHARED eval sets "
+          "(same positives, same reference-sampled negatives):")
+    print(f"{'band':>6} {'size':>4} {'n_pos':>7}  "
+          f"{'jax auroc/auprc':>17}  {'torch auroc/auprc':>17}  {'gap':>7}")
+    js = {}
+    for (band, size), c in sorted(cells.items(), key=lambda kv: str(kv[0])):
+        if band == "all":
+            continue
+        ja, jp = c["jax"]
+        ta, tp = c["torch"]
+        print(f"{band:>6} {size:>4} {c['n_pos']:>7}  "
+              f"{ja:.3f} / {jp:.3f}      {ta:.3f} / {tp:.3f}     "
+              f"{ja - ta:+.3f}")
+        js[f"{band}_{size}"] = {"jax": [round(ja, 4), round(jp, 4)],
+                                "torch": [round(ta, 4), round(tp, 4)],
+                                "n_pos": c["n_pos"]}
+    ja, jp = cells[("all", "all")]["jax"]
+    ta, tp = cells[("all", "all")]["torch"]
+    print(f"{'all':>6} {'all':>4} {'':>7}  "
+          f"{ja:.3f} / {jp:.3f}      {ta:.3f} / {tp:.3f}     {ja - ta:+.3f}")
+    js["all"] = {"jax": [round(ja, 4), round(jp, 4)],
+                 "torch": [round(ta, 4), round(tp, 4)]}
+    print(json.dumps({"shared_eval": js}), flush=True)
 
 
 if __name__ == "__main__":

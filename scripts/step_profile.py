@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--csv", default=None)
     ap.add_argument("--trace-dir", default="/tmp/matcha_step_profile")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--hlo-map", action="store_true",
+                    help="also dump the optimized HLO of the epoch program "
+                         "and print the source metadata of the top ops "
+                         "(attributes anonymized fusion.NNNN names)")
     args = ap.parse_args()
 
     import jax
@@ -196,10 +200,28 @@ def main():
         print(f"  {label:32s} {t * per_step:8.3f}  "
               f"({100 * t / total:5.1f}%)")
 
+    hlo_meta = {}
+    if args.hlo_map:
+        txt = trainer.lower_epoch_indexed(batcher).compile().as_text()
+        import re
+        # "%fusion.2996 = ... metadata={op_name="..." source_file=... }"
+        for m in re.finditer(
+                r"%?([\w.-]+) = [^\n]*metadata=\{([^}]*)\}", txt):
+            nm, meta = m.group(1), m.group(2)
+            om = re.search(r'op_name="([^"]*)"', meta)
+            sf = re.search(r'source_file="([^"]*)"', meta)
+            sl = re.search(r"source_line=(\d+)", meta)
+            hlo_meta[nm] = (
+                (om.group(1) if om else "")[:90]
+                + (f"  [{os.path.basename(sf.group(1))}"
+                   f":{sl.group(1) if sl else '?'}]" if sf else ""))
+
     print(f"\n== top {args.top} ops ==")
     named.sort(reverse=True)
     for t, name, cat in named[:args.top]:
         print(f"  {t * per_step:8.3f} ms  [{cat}] {name[:110]}")
+        if name in hlo_meta:
+            print(f"              -> {hlo_meta[name]}")
 
     if args.csv:
         import csv
