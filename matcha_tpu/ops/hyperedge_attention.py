@@ -392,6 +392,11 @@ def _fwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
                    out_ref, *, L: int, H: int, dk: int, diag_mask: bool):
     # Feature-major block: x_ref is (L, d, be) so "all edges, position i" is
     # a (d, be) slice with features on sublanes and edges on lanes.
+    # Per-head tensors are carried (H, dk, be): the head reduce is a plain
+    # axis-1 sum and the attention-weight apply an implicit (H, 1, be)
+    # broadcast.  Measured PERF-NEUTRAL vs the broadcast_to+reshape 2-D
+    # form (bwd L=5 device time 0.396 ms both ways — Mosaic already tracks
+    # broadcasts in vector layouts); kept for the simpler shape story.
     _, d, be = x_ref.shape
     f32 = jnp.float32
     ln = ln_ref[...]
@@ -407,20 +412,17 @@ def _fwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
     for i in range(L):
         xi = _ffm(x_ref, i)                                   # (d, be)
         q.append(jnp.dot(wqt_ref[...], ln_fm(xi, ln[0], ln[1]),
-                         preferred_element_type=f32).astype(xi.dtype))
+                         preferred_element_type=f32)
+                 .astype(xi.dtype).reshape(H, dk, be))
         k.append(jnp.dot(wkt_ref[...], ln_fm(xi, ln[2], ln[3]),
-                         preferred_element_type=f32).astype(xi.dtype))
+                         preferred_element_type=f32)
+                 .astype(xi.dtype).reshape(H, dk, be))
         v.append(jnp.dot(wvt_ref[...], ln_fm(xi, ln[4], ln[5]),
-                         preferred_element_type=f32))          # (hd, be) f32
+                         preferred_element_type=f32)
+                 .reshape(H, dk, be))                         # f32
 
     hd = H * dk
     inv_temp = 1.0 / math.sqrt(dk)
-
-    def head_sum(prod):                                       # (hd,be)->(H,be)
-        return jnp.sum(prod.reshape(H, dk, be), axis=1)
-
-    def head_bcast(a):                                        # (H,be)->(hd,be)
-        return jnp.broadcast_to(a[:, None, :], (H, dk, be)).reshape(hd, be)
 
     for i in range(L):
         s = []
@@ -428,8 +430,8 @@ def _fwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
             if diag_mask and i == j:
                 s.append(jnp.full((H, be), -1e32, dtype=f32))
                 continue
-            prod = (q[i] * k[j]).astype(f32)                  # (hd, be)
-            s.append(head_sum(prod) * inv_temp)               # (H, be)
+            prod = (q[i] * k[j]).astype(f32)                  # (H, dk, be)
+            s.append(jnp.sum(prod, axis=1) * inv_temp)        # (H, be)
         m = s[0]
         for j in range(1, L):
             m = jnp.maximum(m, s[j])
@@ -438,10 +440,11 @@ def _fwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
         for j in range(1, L):
             tot = tot + e[j]
         inv = 1.0 / tot
-        acc = jnp.zeros((hd, be), dtype=f32)
+        acc = jnp.zeros((H, dk, be), dtype=f32)
         for j in range(L):
-            acc = acc + head_bcast(e[j] * inv) * v[j]
-        yi = (jax.lax.dot_general(fw_ref[...], acc.astype(x_ref.dtype),
+            acc = acc + (e[j] * inv)[:, None, :] * v[j]
+        yi = (jax.lax.dot_general(fw_ref[...],
+                                  acc.reshape(hd, be).astype(x_ref.dtype),
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=f32)
               + fb_ref[...].astype(f32)[:, None])             # (d, be)
@@ -507,20 +510,19 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
         xk.append(a_); xhat_k.append(h_); is_k.append(s_)
         a_, h_, s_ = ln_fwd(xi, ln[4], ln[5])
         xv.append(a_); xhat_v.append(h_); is_v.append(s_)
-        # q/k in input dtype (the fwd kernel's recompute precision), v in f32
+        # q/k in input dtype (the fwd kernel's recompute precision), v in f32;
+        # all (H, dk, be): head reduce = axis-1 sum, attention apply =
+        # implicit (H, 1, be) broadcast (see _fwd_kernel_fm)
         q.append(jnp.dot(wqt_ref[...], xq[i],
-                         preferred_element_type=f32).astype(xi.dtype))
+                         preferred_element_type=f32)
+                 .astype(xi.dtype).reshape(H, dk, be))
         k.append(jnp.dot(wkt_ref[...], xk[i],
-                         preferred_element_type=f32).astype(xi.dtype))
-        v.append(jnp.dot(wvt_ref[...], xv[i], preferred_element_type=f32))
+                         preferred_element_type=f32)
+                 .astype(xi.dtype).reshape(H, dk, be))
+        v.append(jnp.dot(wvt_ref[...], xv[i],
+                         preferred_element_type=f32).reshape(H, dk, be))
 
     inv_temp = 1.0 / math.sqrt(dk)
-
-    def head_sum(prod):
-        return jnp.sum(prod.reshape(H, dk, be), axis=1)
-
-    def head_bcast(a):
-        return jnp.broadcast_to(a[:, None, :], (H, dk, be)).reshape(hd, be)
 
     # forward softmax recompute, saving attn weights a[i][j] (H, be)
     a = [[None] * L for _ in range(L)]
@@ -532,7 +534,7 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
                 s.append(jnp.full((H, be), -1e32, dtype=f32))
                 continue
             prod = (q[i] * k[j]).astype(f32)
-            s.append(head_sum(prod) * inv_temp)
+            s.append(jnp.sum(prod, axis=1) * inv_temp)
         m = s[0]
         for j in range(1, L):
             m = jnp.maximum(m, s[j])
@@ -541,11 +543,11 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
         for j in range(1, L):
             tot = tot + e[j]
         inv = 1.0 / tot
-        acc = jnp.zeros((hd, be), dtype=f32)
+        acc = jnp.zeros((H, dk, be), dtype=f32)
         for j in range(L):
             a[i][j] = e[j] * inv
-            acc = acc + head_bcast(a[i][j]) * v[j]
-        attn_out.append(acc)                                  # (hd, be) f32
+            acc = acc + a[i][j][:, None, :] * v[j]
+        attn_out.append(acc.reshape(hd, be))                  # (hd, be) f32
 
     # fc1 backward (g_ref is (L, d, be))
     g_y = [g_ref[i].astype(f32) for i in range(L)]
@@ -560,12 +562,13 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
             attn_out[i], g_y[i], (((1,), (1,)), ((), ())),
             preferred_element_type=f32)                        # (hd, d)
         g_attn.append(jnp.dot(fw_ref[...].astype(f32), g_y[i],
-                              preferred_element_type=f32))     # (hd, be)
+                              preferred_element_type=f32)
+                      .reshape(H, dk, be))
 
     # attention backward
-    gq = [jnp.zeros((hd, be), f32) for _ in range(L)]
-    gk = [jnp.zeros((hd, be), f32) for _ in range(L)]
-    gv = [jnp.zeros((hd, be), f32) for _ in range(L)]
+    gq = [jnp.zeros((H, dk, be), f32) for _ in range(L)]
+    gk = [jnp.zeros((H, dk, be), f32) for _ in range(L)]
+    gv = [jnp.zeros((H, dk, be), f32) for _ in range(L)]
     for i in range(L):
         g_acc = g_attn[i]
         ga = []
@@ -573,18 +576,18 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
             if diag_mask and i == j:
                 ga.append(jnp.zeros((H, be), f32))
                 continue
-            ga.append(head_sum(g_acc * v[j]))
-            gv[j] = gv[j] + head_bcast(a[i][j]) * g_acc
+            ga.append(jnp.sum(g_acc * v[j], axis=1))
+            gv[j] = gv[j] + a[i][j][:, None, :] * g_acc
         dot_i = jnp.zeros((H, be), f32)
         for j in range(L):
             dot_i = dot_i + a[i][j] * ga[j]
         for j in range(L):
             if diag_mask and i == j:
                 continue
-            g_s = a[i][j] * (ga[j] - dot_i) * inv_temp        # (H, be)
-            g_s_full = head_bcast(g_s)                        # (hd, be)
-            gq[i] = gq[i] + g_s_full * k[j]
-            gk[j] = gk[j] + g_s_full * q[i]
+            g_s = (a[i][j] * (ga[j] - dot_i)
+                   * inv_temp)[:, None, :]                    # (H, 1, be)
+            gq[i] = gq[i] + g_s * k[j]
+            gk[j] = gk[j] + g_s * q[i]
 
     # projections backward + LayerNorm backward, per position
     def ln_bwd(g_out, xhat, inv_sigma, g):
@@ -602,22 +605,25 @@ def _bwd_kernel_fm(x_ref, ln_ref, wqt_ref, wkt_ref, wvt_ref, fw_ref, fb_ref,
     gwv_c = jnp.zeros((hd, d), f32)
     ggq = gbq = ggk = gbk = ggv = gbv = jnp.zeros((d,), f32)
     for i in range(L):
+        gq2 = gq[i].reshape(hd, be)
+        gk2 = gk[i].reshape(hd, be)
+        gv2 = gv[i].reshape(hd, be)
         gwq_c = gwq_c + jax.lax.dot_general(
-            gq[i], xq[i].astype(f32), (((1,), (1,)), ((), ())),
+            gq2, xq[i].astype(f32), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
         gwk_c = gwk_c + jax.lax.dot_general(
-            gk[i], xk[i].astype(f32), (((1,), (1,)), ((), ())),
+            gk2, xk[i].astype(f32), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
         gwv_c = gwv_c + jax.lax.dot_general(
-            gv[i], xv[i].astype(f32), (((1,), (1,)), ((), ())),
+            gv2, xv[i].astype(f32), (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
-        g_xq = jax.lax.dot_general(wqt_ref[...].astype(f32), gq[i],
+        g_xq = jax.lax.dot_general(wqt_ref[...].astype(f32), gq2,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)  # (d, be)
-        g_xk = jax.lax.dot_general(wkt_ref[...].astype(f32), gk[i],
+        g_xk = jax.lax.dot_general(wkt_ref[...].astype(f32), gk2,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
-        g_xv = jax.lax.dot_general(wvt_ref[...].astype(f32), gv[i],
+        g_xv = jax.lax.dot_general(wvt_ref[...].astype(f32), gv2,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
         gx_q, gg, gb = ln_bwd(g_xq, xhat_q[i], is_q[i], ln[0])

@@ -29,12 +29,20 @@ import numpy as np
 
 
 def parse_hlo_stats(trace_dir):
-    """xspace -> list of dicts with program/category/name/time."""
+    """xspace -> list of dicts with program/category/name/time.
+
+    Only the NEWEST profile session under trace_dir is parsed: feeding
+    xplane files from several sessions into one conversion makes
+    xspace_to_tool_data return None."""
     from xprof.convert import raw_to_tool_data as rttd
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     assert paths, f"no xplane.pb under {trace_dir}"
-    data, _ = rttd.xspace_to_tool_data(paths, "hlo_stats", {})
+    by_dir = {}
+    for p in paths:
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+    newest = max(by_dir, key=os.path.getmtime)
+    data, _ = rttd.xspace_to_tool_data(by_dir[newest], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
     rows = json.loads(data)
