@@ -90,8 +90,16 @@ class TrainSettings(NamedTuple):
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
-    return optax.adamw(s.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=s.weight_decay)
+    import os
+    opt = optax.adamw(s.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                      weight_decay=s.weight_decay)
+    if os.environ.get("MATCHA_FLAT_OPT", "0") == "1":
+        # optax.flatten ravels the ~100-leaf param tree into ONE vector for
+        # the update (AdamW is elementwise, math unchanged per element).
+        # Measured NEUTRAL on the chip (the ~400 per-leaf HLO ops fuse well
+        # already); kept as an opt-in A/B knob.
+        opt = optax.flatten(opt)
+    return opt
 
 
 def batch_loss(params, frozen: FrozenTables, dims: ModelDims,
