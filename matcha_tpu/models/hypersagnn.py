@@ -245,8 +245,41 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
     cdt = dims.cdt
     if "table" in params["embed"]:
         return params["embed"]["table"].at[0].set(0.0).astype(cdt)
+    feats = frozen.features
+    widths = [f.shape[1] for f in feats]     # true row counts = col counts
+    rows = [f.shape[0] for f in feats]       # may carry mesh row-padding
+    R, W = max(rows), max(widths)
+    # Batched encode: all chromosomes' tied AEs as ONE zero-padded bmm
+    # chain (padded X columns meet padded W1 rows, so pad contributions
+    # vanish; pad h rows are discarded by the row gather).  Replaces the
+    # ~370 tiny HLO ops the per-chrom loop compiles to at 1 Mb.  Measured
+    # perf-NEUTRAL on the chip at the bench workload (4.38 ms/step both
+    # ways — the backend amortizes small-op launches better than assumed);
+    # kept for the smaller executable and simpler sharded story.  Gated by
+    # table volume: at 100 kb the padded stack would be ~0.5 GB and the
+    # per-chrom matmuls are large enough to amortize their launches anyway.
+    if len(feats) > 1 and len(feats) * R * W * 4 <= (64 << 20):
+        x = jnp.stack([jnp.pad(f.astype(cdt),
+                               ((0, R - f.shape[0]), (0, W - f.shape[1])))
+                       for f in feats])                        # (C, R, W)
+        if train and key is not None:
+            key, kd = jax.random.split(key)
+            x = dropout(kd, x, dims.feature_dropout, train)
+        w1 = jnp.stack([jnp.pad(p["w1"].astype(cdt),
+                                ((0, W - p["w1"].shape[0]), (0, 0)))
+                        for p in params["embed"]["ae"]])       # (C, W, d)
+        w2 = jnp.stack([p["w2"].astype(cdt)
+                        for p in params["embed"]["ae"]])       # (C, d, d)
+        h = jnp.einsum("crw,cwd->crd", jnp.tanh(
+            jnp.einsum("crw,cwd->crd", x, w1)), w2)            # (C, R, d)
+        # row gather: node id i (1-based) -> (chrom c, local row) in h
+        flat_idx = np.concatenate(
+            [c * R + np.arange(w) for c, w in enumerate(widths)])
+        table = h.reshape(len(feats) * R, dims.dim)[flat_idx]
+        return jnp.concatenate(
+            [jnp.zeros((1, dims.dim), dtype=cdt), table], axis=0)
     blocks = [jnp.zeros((1, dims.dim), dtype=cdt)]
-    for c, x in enumerate(frozen.features):
+    for c, x in enumerate(feats):
         if train and key is not None:
             key, kd = jax.random.split(key)
             x = dropout(kd, x.astype(cdt), dims.feature_dropout, train)
