@@ -97,6 +97,11 @@ def main():
     ap.add_argument("--cpu-batches", type=int, default=50,
                     help="torch-CPU comparator runs this many minibatches "
                          "and extrapolates")
+    ap.add_argument("--weight-backend", default="scipy",
+                    choices=["auto", "device", "scipy"],
+                    help="cooccurrence backend for the walk build; scipy "
+                         "keeps the (host-side) table construction off the "
+                         "TPU so the chip first touches the SGNS epoch")
     args = ap.parse_args()
 
     from __graft_entry__ import _build_problem
@@ -118,7 +123,8 @@ def main():
 
     t0 = time.time()
     walks = hypergraph_walks(n, edges, num_walks=args.num_walks,
-                             walk_length=args.walk_length, seed=1)
+                             walk_length=args.walk_length, seed=1,
+                             weight_backend=args.weight_backend)
     walk_s = time.time() - t0
     tokens = int(walks.size)
     print(f"walks: {walks.shape} = {tokens / 1e6:.1f}M tokens "

@@ -293,3 +293,29 @@ def test_native_cluster_parser_rejects_malformed_coord(tiny_genome, tmp_path):
     with open(ok) as f:
         pf, po = _parse_lines(f, tiny_genome, 25)
     assert (nf == pf).all() and (no == po).all()
+
+
+def test_bucketed_packed_merge_equals_plain(monkeypatch):
+    """The bucketed two-pass packed merge (large-input path) is bit-equal to
+    the single-sort packed merge and to the lexsort reference."""
+    from matcha_tpu.data import kmers as km
+
+    rng = np.random.default_rng(7)
+    parts = []
+    for _ in range(4):
+        rows = np.sort(rng.integers(1, 500, (3000, 5)), axis=1).astype(
+            np.int32)
+        rows, cnt = km._count_rows(rows)
+        parts.append((rows, cnt.astype(np.int64)))
+    plain_rows, plain_cnt = km._merge_many(parts)
+
+    monkeypatch.setattr(km, "_BUCKET_MERGE_MIN", 0)
+    buck_rows, buck_cnt = km._merge_many(parts)
+    assert np.array_equal(plain_rows, buck_rows)
+    assert np.array_equal(plain_cnt, buck_cnt)
+
+    # lexsort oracle: merge by concatenating raw rows
+    raw = np.concatenate([np.repeat(p[0], p[1], axis=0) for p in parts])
+    orows, ocnt = km._count_rows(raw)
+    assert np.array_equal(plain_rows, orows)
+    assert np.array_equal(plain_cnt, ocnt)
