@@ -112,7 +112,10 @@ def _sample_change_mask(key: jax.Array, n: int, k: int) -> jnp.ndarray:
     kc, kp = jax.random.split(key)
     cdf = jnp.asarray(_truncated_binomial_cdf(k), dtype=jnp.float32)
     u = jax.random.uniform(kc, (n,))
-    change_num = jnp.searchsorted(cdf, u, side="left") + 1      # in 1..k
+    # #{j: cdf[j] < u} == searchsorted(cdf, u, side="left"), identical
+    # values; the compare-count fuses where searchsorted lowers to a
+    # log2(k)-iteration while loop of gathers (see walks/skipgram.py)
+    change_num = jnp.sum((u[:, None] > cdf).astype(jnp.int32), axis=-1) + 1
     # random ranks: position j is corrupted iff its rank < change_num.
     # rank by O(k^2) pairwise compare-counts (index tie-break) instead of a
     # double argsort — jnp.argsort lowers to a general sort HLO, far
