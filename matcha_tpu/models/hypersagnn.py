@@ -264,7 +264,18 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
                        for f in feats])                        # (C, R, W)
         if train and key is not None:
             key, kd = jax.random.split(key)
-            x = dropout(kd, x, dims.feature_dropout, train)
+            # the mask is drawn at the PAD-INDEPENDENT shape (C, W, W) —
+            # true row count of a corrcoef table equals its width — and
+            # padded with keep=True: drawing at (C, R, W) would give the
+            # single-device and mesh trainers different masks whenever
+            # pad_frozen_for_mesh row-pads the features (R differs), and
+            # the sharded==single trajectory test pins that alignment
+            rate = dims.feature_dropout
+            if rate > 0.0:
+                keep = jax.random.bernoulli(kd, 1.0 - rate, (len(feats), W, W))
+                keep = jnp.pad(keep, ((0, 0), (0, R - W), (0, 0)),
+                               constant_values=True)
+                x = jnp.where(keep, x / (1.0 - rate), 0)
         w1 = jnp.stack([jnp.pad(p["w1"].astype(cdt),
                                 ((0, W - p["w1"].shape[0]), (0, 0)))
                         for p in params["embed"]["ae"]])       # (C, W, d)
@@ -381,7 +392,20 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
     w_n = cnt * ((frozen.chrom_of_node[:R] != r) & (node_ids != 0))
 
     w_r, b_r, cols, col_ok, width_r = _padded_recon_parts(params, frozen, r)
-    target = frozen.inter_z[:R, cols].astype(jnp.float32)     # (R, F)
+    widths = [f.shape[1] for f in frozen.features]
+    f_max = int(max(widths))
+    if frozen.inter_z.shape[1] >= sum(widths) + f_max:
+        # inter_z carries >= f_max zero pad columns (Trainer init): the
+        # target slice is a contiguous dynamic_slice — at 100 kb the
+        # clipped column GATHER of the (R, F) slice was 0.68 ms/step of
+        # pure HBM shuffling.  Values are identical: the pad columns are
+        # zero AND masked by col_ok, and no clipping can trigger.
+        start = jnp.asarray(
+            np.concatenate([[0], np.cumsum(widths)[:-1]]))[r]
+        target = jax.lax.dynamic_slice_in_dim(
+            frozen.inter_z[:R], start, f_max, axis=1).astype(jnp.float32)
+    else:
+        target = frozen.inter_z[:R, cols].astype(jnp.float32)  # (R, F)
     recon = (tanh(node_table[:R].astype(jnp.float32)) @ w_r
              + b_r)                                           # (R, F)
     sq = jnp.where(col_ok[None, :], (target - recon) ** 2, 0.0)

@@ -50,13 +50,23 @@ def _block_tokens(T: int) -> int:
     return bt if T % bt == 0 else 0
 
 
+# Above this row count the dense one-hot contraction loses to XLA's
+# latency-bound scatter-add: the kernel's MXU cost is T*n_rows*d flops
+# (linear in the table height) while the scatter is ~7 ns * T rows
+# regardless of height.  Crossover ~= 7ns * bf16-peak / (2*d) ~= 11k rows
+# at d=64; measured at 100 kb (n_rows=30,896) the kernel costs 2.68
+# ms/step vs ~0.9 for the scatter.
+SCATTER_MATMUL_MAX_ROWS = 12_288
+
+
 def scatter_add_matmul(g: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
                        *, interpret: bool = False) -> jnp.ndarray:
     """sum_t onehot(idx[t]) x g[t]: (T, d), (T,) int32 -> (n_rows, d) f32."""
     T, d = g.shape
     npad = ((n_rows + 127) // 128) * 128
     bt = _block_tokens(T)
-    if bt == 0 or (jax.default_backend() == "cpu" and not interpret):
+    if (bt == 0 or n_rows > SCATTER_MATMUL_MAX_ROWS
+            or (jax.default_backend() == "cpu" and not interpret)):
         return jnp.zeros((n_rows, d), jnp.float32).at[idx].add(
             g.astype(jnp.float32))
     kern = partial(_scatter_kernel, bt=bt, npad=npad)

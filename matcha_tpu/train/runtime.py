@@ -368,6 +368,17 @@ class Trainer:
         # per leaf (~40 s for 119 leaves on a high-latency device link).
         params = jax.jit(
             lambda t: jax.tree_util.tree_map(jnp.copy, t))(params)
+        if frozen.features:
+            # >= f_max zero pad columns on inter_z let the recon target be
+            # a contiguous dynamic_slice instead of a clipped column gather
+            # (0.68 ms/step of HBM shuffling at 100 kb; see recon_loss_node).
+            # Pad columns are zero AND col_ok-masked — losses unchanged.
+            f_max = max(int(f.shape[1]) for f in frozen.features)
+            short = sum(int(f.shape[1]) for f in frozen.features) + f_max \
+                - int(frozen.inter_z.shape[1])
+            if short > 0:
+                frozen = frozen._replace(inter_z=jnp.pad(
+                    frozen.inter_z, ((0, 0), (0, short))))
         key = jax.random.PRNGKey(seed)
         if settings.chrom_bounds is None:
             # hoist the tiny per-chrom node ranges to host constants while
