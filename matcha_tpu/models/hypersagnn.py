@@ -59,6 +59,18 @@ class ModelDims(NamedTuple):
                                 # Nonzero = a user attribute matrix (the
                                 # legacy attribute_dict surface, ref
                                 # History_version/Code/main_drop.py:607-631)
+    feature_dropout_mode: str = "per_node"
+                                # "per_node": dropout drawn once per node ROW
+                                #   per step on the frozen feature table (the
+                                #   TPU-first table-encode design; same
+                                #   regularizer in expectation).
+                                # "per_occurrence": reference-exact placement
+                                #   (ref Code/Modules.py:174,176-189) — drawn
+                                #   per node OCCURRENCE per batch on the
+                                #   gathered feature row, encoded per token,
+                                #   recon decoded from the per-token
+                                #   (dropout-bearing) embedding.  Opt-in A/B
+                                #   path: O(T·W·d) per step, not the hot path.
 
     @property
     def cdt(self):
@@ -245,6 +257,11 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
     cdt = dims.cdt
     if "table" in params["embed"]:
         return params["embed"]["table"].at[0].set(0.0).astype(cdt)
+    if dims.feature_dropout_mode == "per_occurrence":
+        # per-occurrence mode draws its dropout on the gathered per-token
+        # feature rows (_per_occurrence_embed); the table itself — used for
+        # eval, export, and the pad-max pad rows — stays clean
+        train = False
     feats = frozen.features
     widths = [f.shape[1] for f in feats]     # true row counts = col counts
     rows = [f.shape[0] for f in feats]       # may carry mesh row-padding
@@ -258,7 +275,12 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
     # kept for the smaller executable and simpler sharded story.  Gated by
     # table volume: at 100 kb the padded stack would be ~0.5 GB and the
     # per-chrom matmuls are large enough to amortize their launches anyway.
-    if len(feats) > 1 and len(feats) * R * W * 4 <= (64 << 20):
+    # Gate on a PAD-INDEPENDENT volume (true rows of a corrcoef table ==
+    # its width, so C*W*W ignores mesh row-padding): gating on R would let
+    # a mesh run (larger R) take the per-chrom loop while the single-device
+    # run takes the batched path near the threshold, drawing different
+    # feature-dropout masks and breaking sharded==single trajectories.
+    if len(feats) > 1 and len(feats) * W * W * 4 <= (64 << 20):
         x = jnp.stack([jnp.pad(f.astype(cdt),
                                ((0, R - f.shape[0]), (0, W - f.shape[1])))
                        for f in feats])                        # (C, R, W)
@@ -302,6 +324,43 @@ def encode_node_table(params: Dict, frozen: FrozenTables, dims: ModelDims, *,
         # the true row count of a corrcoef table equals its column count
         blocks.append(h[:x.shape[1]])
     return jnp.concatenate(blocks, axis=0)
+
+
+def _per_occurrence_embed(params: Dict, frozen: FrozenTables,
+                          dims: ModelDims, flat: jnp.ndarray,
+                          key: Optional[jax.Array]) -> jnp.ndarray:
+    """Reference-exact feature-dropout placement (opt-in,
+    dims.feature_dropout_mode == "per_occurrence"): gather each token's
+    frozen feature row, draw dropout per OCCURRENCE per batch, and encode
+    through that chromosome's tied autoencoder — the semantics of the
+    reference's per-batch mask loop (ref Code/Modules.py:174,176-189),
+    where ``self.dropout(adj)`` acts on the gathered rows.
+
+    Returns (T, d) node-only embeddings (pre-attribute; row of token id 0
+    is exactly zero — its feature row is zero and the AE has no bias).
+    O(T·W·d) work + a (T, W, d) weight gather: an A/B path, not the
+    table-encode hot path."""
+    cdt = dims.cdt
+    feats = frozen.features
+    widths = [f.shape[1] for f in feats]   # true rows == width (corrcoef)
+    W = max(widths)
+    rows = [jnp.zeros((1, W), cdt)]        # pad id 0
+    for f, w in zip(feats, widths):
+        rows.append(jnp.pad(f[:w].astype(cdt), ((0, 0), (0, W - w))))
+    f_all = jnp.concatenate(rows, axis=0)                  # (N+1, W)
+    x_feat = f_all[flat]                                   # (T, W)
+    rate = dims.feature_dropout
+    if rate > 0.0 and key is not None:
+        keep = jax.random.bernoulli(key, 1.0 - rate, x_feat.shape)
+        x_feat = jnp.where(keep, x_feat / (1.0 - rate), 0)
+    w1 = jnp.stack([jnp.pad(p["w1"].astype(cdt),
+                            ((0, W - p["w1"].shape[0]), (0, 0)))
+                    for p in params["embed"]["ae"]])       # (C, W, d)
+    w2 = jnp.stack([p["w2"].astype(cdt)
+                    for p in params["embed"]["ae"]])       # (C, d, d)
+    c_t = jnp.clip(frozen.chrom_of_node[flat], 0, len(feats) - 1)
+    h1 = jnp.tanh(jnp.einsum("tw,twd->td", x_feat, w1[c_t]))
+    return jnp.einsum("td,tde->te", h1, w2[c_t])           # (T, d)
 
 
 def recon_loss_fn(params: Dict, frozen: FrozenTables, dims: ModelDims,
@@ -462,13 +521,25 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
     b, L = x.shape
     npm = (x != 0).astype(jnp.float32)[..., None]      # (B, L, 1)
 
-    # node + projected-attribute tables are combined per NODE before the
-    # token gather: node_table[x] + linear(attr_table[x]) == combined[x]
-    # exactly (same per-row values), and the (T, C+1) attribute gather +
-    # (T, C+1)@(C+1, d) matmul drop out of the per-token hot path
-    combined = node_table + linear(params["attr_nn"],
-                                   frozen.attr_table.astype(dims.cdt))
-    h = tanh(feed_forward(params["next_w"], combined[x]))
+    per_occ = (train and k_tab is not None
+               and dims.feature_dropout_mode == "per_occurrence"
+               and "table" not in params["embed"])
+    emb_tok = None
+    if per_occ:
+        flat = x.reshape(-1)
+        emb_tok = _per_occurrence_embed(params, frozen, dims, flat, k_tab)
+        emb = (emb_tok.reshape(b, L, dims.dim)
+               + linear(params["attr_nn"],
+                        frozen.attr_table.astype(dims.cdt))[x])
+        h = tanh(feed_forward(params["next_w"], emb))
+    else:
+        # node + projected-attribute tables are combined per NODE before the
+        # token gather: node_table[x] + linear(attr_table[x]) == combined[x]
+        # exactly (same per-row values), and the (T, C+1) attribute gather +
+        # (T, C+1)@(C+1, d) matmul drop out of the per-token hot path
+        combined = node_table + linear(params["attr_nn"],
+                                       frozen.attr_table.astype(dims.cdt))
+        h = tanh(feed_forward(params["next_w"], combined[x]))
 
     dynamic, static = encoder_layer(
         params["encoder"], h, npm.astype(h.dtype), dims.n_head, dims.dim,
@@ -484,8 +555,15 @@ def forward(params: Dict, frozen: FrozenTables, dims: ModelDims,
 
     rest = ()
     if return_recon:
-        recon = recon_loss_fn(params, frozen, dims, x.reshape(-1),
-                              node_table, k_rec)
+        if per_occ:
+            # reference-exact recon placement: decoded from the per-token
+            # (dropout-bearing) embedding (ref Code/Modules.py:192-199)
+            r = jax.random.randint(k_rec, (), 0, dims.num_chroms)
+            recon = recon_loss_with_chrom(params, frozen, dims,
+                                          x.reshape(-1), emb_tok, r)
+        else:
+            recon = recon_loss_fn(params, frozen, dims, x.reshape(-1),
+                                  node_table, k_rec)
         rest += (recon,)
     if return_positions:
         rest += (per_pos[..., 0],)
@@ -548,9 +626,19 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
     # the (T, C+1) attribute gather, and the per-token attr matmul; the
     # attr_nn gradient arrives through the combined table's scatter-add
     # transpose followed by one (C+1, N+1)@(N+1, d) matmul
-    combined = node_table + linear(params["attr_nn"],
-                                   frozen.attr_table.astype(dims.cdt))
-    if dims.use_pallas_attention and jax.default_backend() != "cpu":
+    attr_proj = linear(params["attr_nn"], frozen.attr_table.astype(dims.cdt))
+    combined = node_table + attr_proj
+    per_occ = (train and k_tab is not None
+               and dims.feature_dropout_mode == "per_occurrence"
+               and "table" not in params["embed"])
+    emb_tok = None
+    if per_occ:
+        # reference-exact feature-dropout placement (A/B opt-in): the
+        # per-token embedding replaces the table gather; `combined` is
+        # still used for the pad-max pad rows (token id 0: zero embedding)
+        emb_tok = _per_occurrence_embed(params, frozen, dims, flat, k_tab)
+        emb_attr = emb_tok + attr_proj[flat]
+    elif dims.use_pallas_attention and jax.default_backend() != "cpu":
         # MXU one-hot-matmul VJP: the XLA scatter-add grad of this gather is
         # latency-bound random RMW (~1.6 ms/step at bench scale) — see
         # ops/table_scatter.py.  Under a data mesh the kernel is
@@ -653,7 +741,15 @@ def forward_buckets(params: Dict, frozen: FrozenTables, dims: ModelDims,
                                  keepdims=True)
 
     if return_recon:
-        recon = recon_loss_fn(params, frozen, dims, flat, node_table, k_rec)
+        if per_occ:
+            # reference-exact recon placement: decoded from the per-token
+            # (dropout-bearing) embedding (ref Code/Modules.py:192-199)
+            r = jax.random.randint(k_rec, (), 0, dims.num_chroms)
+            recon = recon_loss_with_chrom(params, frozen, dims, flat,
+                                          emb_tok, r)
+        else:
+            recon = recon_loss_fn(params, frozen, dims, flat, node_table,
+                                  k_rec)
         return logits, recon
     return logits
 

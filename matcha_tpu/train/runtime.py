@@ -90,16 +90,13 @@ class TrainSettings(NamedTuple):
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
-    import os
-    opt = optax.adamw(s.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                      weight_decay=s.weight_decay)
-    if os.environ.get("MATCHA_FLAT_OPT", "0") == "1":
-        # optax.flatten ravels the ~100-leaf param tree into ONE vector for
-        # the update (AdamW is elementwise, math unchanged per element).
-        # Measured NEUTRAL on the chip (the ~400 per-leaf HLO ops fuse well
-        # already); kept as an opt-in A/B knob.
-        opt = optax.flatten(opt)
-    return opt
+    # An optax.flatten (one-vector AdamW) variant was A/B'd on the chip and
+    # REJECTED at -2.3% (the per-leaf update ops fuse well; the ravel/split
+    # costs more than it saves — BASELINE round 4).  The knob was removed
+    # rather than kept: flatten changes the opt-state pytree structure, so a
+    # checkpoint saved under it could not be restored without it.
+    return optax.adamw(s.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=s.weight_decay)
 
 
 def batch_loss(params, frozen: FrozenTables, dims: ModelDims,

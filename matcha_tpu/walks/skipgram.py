@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Above this vocabulary size the fused broadcast-compare-count negative
+# draw (O(m*neg*V) VPU compares) loses to jnp.searchsorted's O(log V)
+# binary search; mirrors the SCATTER_MATMUL_MAX_ROWS gating pattern.
+COMPARE_COUNT_MAX_VOCAB = 8192
+
 
 def walks_to_pairs(walks: np.ndarray, window: int,
                    rng: np.random.Generator) -> np.ndarray:
@@ -67,9 +72,16 @@ def _sgns_epoch(emb_in, emb_out, pairs, neg_table_cdf, key, *,
         # unigram^0.75 draws: #{j: cdf[j] < u} == searchsorted(cdf, u),
         # but XLA lowers searchsorted to a log2(V)-iteration while loop of
         # gather fusions (profiled: 3.5 of the 4.9 ms step); the fused
-        # broadcast-compare-count is one VPU pass at small vocabularies
-        negs = jnp.sum((u[..., None] > neg_table_cdf).astype(jnp.int32),
-                       axis=-1)
+        # broadcast-compare-count is one VPU pass at small vocabularies.
+        # The compare-count is O(m*neg*V) VPU work, so above
+        # COMPARE_COUNT_MAX_VOCAB it would regress below the log2(V)
+        # searchsorted path it replaced — gate on vocab size.
+        if vocab <= COMPARE_COUNT_MAX_VOCAB:
+            negs = jnp.sum((u[..., None] > neg_table_cdf).astype(jnp.int32),
+                           axis=-1)
+        else:
+            negs = jnp.searchsorted(neg_table_cdf, u).astype(jnp.int32)
+        negs = jnp.minimum(negs, vocab - 1)
 
         v_in = emb_in[centers]                            # (m, d)
         v_pos = emb_out[contexts]                         # (m, d)
@@ -126,7 +138,14 @@ def sgns_epoch_chunked(emb_in, emb_out, pairs_b: np.ndarray, cdf, key, *,
     tunneled backends drop transfers that large (observed: a 1.6 GB
     corpus put wedged the device).  Chunks of ``chunk`` minibatches
     (~32 MB at m=8192) stream instead; the embedding tables stay on
-    device across calls, so steady-state throughput is unchanged."""
+    device across calls, so steady-state throughput is unchanged.
+
+    A corpus whose minibatch count does not divide ``chunk`` leaves one
+    tail chunk of a smaller leading shape, costing one extra jit compile
+    of ``_sgns_epoch`` per distinct tail size.  All pairs still train
+    exactly once (padding the tail would double-train wrapped pairs), so
+    the tail is kept as-is; on short corpora the extra compile dominates
+    — pass a smaller ``chunk`` there."""
     losses = []
     for s in range(0, pairs_b.shape[0], chunk):
         key, kc = jax.random.split(key)

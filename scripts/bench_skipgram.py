@@ -176,9 +176,10 @@ def main():
     resident_s = None
     float(ls[-1])
     resident_s = (time.time() - t0) / reps
-    resident_pairs_s = 512 * args.batch / resident_s
+    resident_pairs_s = chunk.shape[0] * args.batch / resident_s
     print(f"device-resident: {resident_pairs_s / 1e6:.1f}M pairs/s "
-          f"({resident_s * 1000:.0f} ms / 512-batch chunk)", file=sys.stderr)
+          f"({resident_s * 1000:.0f} ms / {chunk.shape[0]}-batch chunk)",
+          file=sys.stderr)
     tpu_pairs_s = n_b * args.batch / tpu_epoch_s
     # gensim-style "words/s": corpus tokens consumed per second, where each
     # token costs (pairs / tokens) pair updates

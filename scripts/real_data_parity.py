@@ -324,6 +324,13 @@ def main():
                     default="bands",
                     help="'bands' = the legacy main_SPRITE band mix; "
                          "'upper' = the freq>=12 slice only (learnable)")
+    ap.add_argument("--feature-dropout-mode",
+                    choices=["per_node", "per_occurrence"],
+                    default="per_node",
+                    help="jax-side feature-dropout placement A/B: "
+                         "'per_occurrence' matches the reference exactly "
+                         "(drawn per gathered row per batch, recon decoded "
+                         "from the dropout-bearing token embedding)")
     args = ap.parse_args()
 
     from matcha_tpu.data.generic import (adjacency_features,
@@ -345,6 +352,9 @@ def main():
     space, dims, params, frozen, table = build_generic_problem(
         counts, train_rows, dim=args.dim, n_head=args.n_head,
         type_names=names, seed=args.seed)
+    if args.feature_dropout_mode != "per_node":
+        dims = dims._replace(feature_dropout_mode=args.feature_dropout_mode)
+        print(f"feature_dropout_mode = {dims.feature_dropout_mode}")
     sizes = [len(r) for r in train_rows]
     flat = np.concatenate([np.asarray(r) for r in train_rows]).astype(np.int32)
     offsets = np.zeros(len(sizes) + 1, np.int64)
