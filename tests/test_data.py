@@ -216,6 +216,27 @@ def test_sharded_kmers_match_single_shot(tiny_genome, rng, tmp_path):
         fb = np.load(single / f"all_{k}_freq_counter.npy")
         assert (fa == fb).all()
 
+    # process-parallel bucket merge: bit-equal to the serial streaming merge
+    got_w = merge_kmer_shards([2, 3], shard_count=n_shards,
+                              temp_dir=str(sharded), min_freq_cutoff=2,
+                              verbose=False, workers=2)
+    for k in (2, 3):
+        assert (got_w[k][0] == ref[k][0]).all()
+        assert (got_w[k][1] == ref[k][1]).all()
+
+    # pre-metadata shards (sidecar .meta.npz absent): the merge
+    # reconstructs the cuts by a bounded chunked scan, still bit-equal
+    import glob
+    import os
+    for mp in glob.glob(str(sharded / "*.meta.npz")):
+        os.remove(mp)
+    got_n = merge_kmer_shards([2, 3], shard_count=n_shards,
+                              temp_dir=str(sharded), min_freq_cutoff=2,
+                              verbose=False)
+    for k in (2, 3):
+        assert (got_n[k][0] == ref[k][0]).all()
+        assert (got_n[k][1] == ref[k][1]).all()
+
 
 def test_shard_clusters_empty_shard():
     from matcha_tpu.data.kmers import merge_kmer_shards, shard_clusters

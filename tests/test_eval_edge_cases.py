@@ -56,12 +56,16 @@ def test_regress_mode_checkpoints(tmp_path):
     assert os.path.exists(ckpt)
 
 
-def test_regress_nan_auprc_checkpoints_on_loss(tmp_path):
+def test_regress_nan_auprc_checkpoints_on_loss(tmp_path, monkeypatch):
     """Force the NaN-AUPRC path directly (sklearn happens to return
     auprc=1.0 for all-positive labels, so the regress fit above never hits
     it): checkpoint selection must fall back to -bce with a -inf floor, so
-    the best-loss epoch is the one written."""
+    the best-loss epoch is the one written.  The fake below patches
+    eval_epoch, which fit's overlapped pipeline bypasses (it dispatches the
+    pinned eval directly) — force the serial path; the NaN fallback lives
+    in the shared post_epoch bookkeeping either way."""
     from matcha_tpu.train.runtime import load_checkpoint
+    monkeypatch.setenv("MATCHA_FIT_OVERLAP", "0")
 
     genome, dims, params, frozen = _build_problem(dim=16, n_head=4, chroms=2)
     rng = np.random.default_rng(4)
