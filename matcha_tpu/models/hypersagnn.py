@@ -87,6 +87,20 @@ class FrozenTables(NamedTuple):
 
 
 _FUSE_TAIL: Optional[bool] = None
+_RECON_BF16: Optional[bool] = None
+
+
+def _recon_decode_bf16() -> bool:
+    """MATCHA_RECON_BF16=1: the recon decode matmul (N, d)@(d, F) runs with
+    bf16 operands / f32 accumulation instead of full f32 — the A/B knob for
+    the single biggest 100 kb step premium (the f32 dot chain decodes all N
+    node rows; VERDICT r4 #6).  Read once per process: the gate is consulted
+    at trace time."""
+    global _RECON_BF16
+    if _RECON_BF16 is None:
+        import os
+        _RECON_BF16 = os.environ.get("MATCHA_RECON_BF16", "0") == "1"
+    return _RECON_BF16
 
 
 def _fuse_tail_enabled() -> bool:
@@ -465,8 +479,16 @@ def recon_loss_node(params: Dict, frozen: FrozenTables, dims: ModelDims,
             frozen.inter_z[:R], start, f_max, axis=1).astype(jnp.float32)
     else:
         target = frozen.inter_z[:R, cols].astype(jnp.float32)  # (R, F)
-    recon = (tanh(node_table[:R].astype(jnp.float32)) @ w_r
-             + b_r)                                           # (R, F)
+    h_dec = tanh(node_table[:R].astype(jnp.float32))
+    if _recon_decode_bf16():
+        # bf16 operands, f32 accumulate (the precision pinned acceptable
+        # for the Pallas bwd recompute, BASELINE round 2); targets/compare
+        # stay f32.  A/B opt-in — see MATCHA_RECON_BF16
+        recon = jnp.matmul(h_dec.astype(jnp.bfloat16),
+                           w_r.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) + b_r
+    else:
+        recon = h_dec @ w_r + b_r                             # (R, F)
     sq = jnp.where(col_ok[None, :], (target - recon) ** 2, 0.0)
     per_node = jnp.sum(sq, axis=-1) / width_r
     denom = jnp.sum(w_n)

@@ -122,6 +122,12 @@ def main():
     ap.add_argument("--ici-gbps", type=float, default=90.0,
                     help="per-chip ICI bandwidth assumption, GB/s "
                     "(v5e: 4 links x ~22.5 GB/s usable each direction)")
+    ap.add_argument("--program", choices=["indexed", "host"],
+                    default="indexed",
+                    help="'indexed' = epoch_indexed_fn, the program "
+                    "Trainer.fit ships and bench.py measures (HBM-pinned "
+                    "base buckets + host-drawn indices); 'host' = the "
+                    "legacy train_epoch host-staged program")
     args = ap.parse_args()
 
     import jax
@@ -150,20 +156,35 @@ def main():
                       mesh=mesh)
     batcher = BucketedBatcher(buckets, batch_size=args.batch,
                               num_batch_per_iter=args.steps)
-    lowered = trainer.lower_train_epoch(batcher.next_epoch())
+    if args.program == "indexed":
+        # the SHIPPED program: pinned base buckets + indexed epochs
+        # (VERDICT r4 #7 — keep the paper bound attached to what fit runs)
+        assert trainer.pin_base_buckets(batcher), "pin budget exceeded"
+        lowered = trainer.lower_epoch_indexed(batcher)
+    else:
+        lowered = trainer.lower_train_epoch(batcher.next_epoch())
     hlo = lowered.compile().as_text()
 
-    per_step, one_time = collect(hlo)
+    per_step, per_epoch = collect(hlo)
     total_step = sum(per_step.values())
+    # collectives outside the scan body run once per EPOCH invocation (the
+    # jitted program is one epoch): for the indexed program these are the
+    # bulk index-gather reshards; amortize them over the epoch's steps
+    total_epoch = sum(per_epoch.values())
+    amortized = total_step + total_epoch / max(args.steps, 1)
     report = {
+        "program": args.program,
         "mesh": {"data": args.devices // args.model, "model": args.model},
         "batch_per_bucket": args.batch,
+        "steps_per_epoch": args.steps,
         "per_step_collective_bytes": per_step,
         "per_step_total_bytes": total_step,
-        "one_time_collective_bytes": one_time,
+        "per_epoch_collective_bytes": per_epoch,
+        "per_epoch_total_bytes": total_epoch,
+        "amortized_per_step_bytes": int(amortized),
     }
     if args.step_ms:
-        t_comm_ms = total_step / (args.ici_gbps * 1e9) * 1e3
+        t_comm_ms = amortized / (args.ici_gbps * 1e9) * 1e3
         bound = args.step_ms / (args.step_ms + t_comm_ms)
         report["scaling_bound"] = {
             "single_chip_step_ms": args.step_ms,
