@@ -475,7 +475,8 @@ class Trainer:
         def train_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):
             step = train_step_with(frozen, table,
                                    blooms if has_blooms else None)
-            return jax.lax.scan(step, state, stacked)
+            return jax.lax.scan(step, state, stacked,
+                                unroll=scan_unroll)
 
         @partial(jax.jit, donate_argnums=0,
                  static_argnames=("steps", "batch", "has_blooms"))
@@ -500,7 +501,14 @@ class Trainer:
             # tiny ops — ~13% of the batch-2048 step
             stacked = {k: (full[k][0][idxs[k]], full[k][1][idxs[k]])
                        for k in full}
-            return jax.lax.scan(step, state, stacked)
+            return jax.lax.scan(step, state, stacked,
+                                unroll=scan_unroll)
+
+        # lax.scan unroll factor for the epoch loops: >1 replicates the step
+        # body to cut per-iteration while-loop orchestration (~0.4 ms/step
+        # un-attributable at bench scale) at the cost of executable size /
+        # compile time.  Read once per process (trace-time gate).
+        scan_unroll = int(os.environ.get("MATCHA_SCAN_UNROLL", "1"))
 
         @partial(jax.jit, donate_argnums=0, static_argnames=("has_blooms",))
         def epoch_indexed_fn(state, idxs, full, frozen, table, blooms,
@@ -522,7 +530,8 @@ class Trainer:
                         x, batch_sharding(mesh, x.ndim)), stacked)
             step = train_step_with(frozen, table,
                                    blooms if has_blooms else None)
-            return jax.lax.scan(step, state, stacked)
+            return jax.lax.scan(step, state, stacked,
+                                unroll=scan_unroll)
 
         @partial(jax.jit, static_argnames=("has_blooms",))
         def eval_epoch_fn(state, stacked, frozen, table, blooms, has_blooms):

@@ -95,23 +95,10 @@ def cooccurrence_csr(num_nodes: int, hyperedges, backend: str = "auto",
     return W
 
 
-def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
-                     q: float = 0.25, num_walks: int = 10,
-                     walk_length: int = 80, seed: int = 0,
-                     weight_backend: str = "auto") -> np.ndarray:
-    """-> (num_nodes * num_walks, walk_length) walks (0-based node ids)."""
-    rng = np.random.default_rng(seed)
-    ev_mats = incidence_matrices(num_nodes, hyperedges)
-    EV = ev_mats[0]
-    VE = EV.T.tocsr()
-    node_degree = np.asarray(EV.sum(axis=0)).reshape(-1)
-
-    # ff = VE_od @ EV_od : (N, N) node-node weights, diagonal removed —
-    # computed on device by default (see cooccurrence_csr)
-    W = cooccurrence_csr(num_nodes, hyperedges, backend=weight_backend,
-                         ev_matrices=ev_mats)
-
-    # first-order tables
+def first_order_tables(W, node_degree):
+    """First-order alias tables: prob(dst | src) ∝ ff/sqrt(deg(dst))
+    (ref get_first_order_part :128-141)."""
+    num_nodes = W.shape[0]
     dists, values = [], []
     for v in range(num_nodes):
         s, e = W.indptr[v], W.indptr[v + 1]
@@ -120,46 +107,111 @@ def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
         tot = w.sum()
         dists.append(w / tot if tot > 0 else w)
         values.append(nbrs)
-    first = build_alias_tables(dists, values)
+    return build_alias_tables(dists, values)
 
-    # second-order tables per directed pair (src, dst)
-    VE_indptr, VE_indices = VE.indptr, VE.indices        # node -> hyperedges
-    EV_indptr, EV_indices = EV.indptr, EV.indices        # hyperedge -> nodes
+
+def _second_order_dst(dst, W, EV, VE, node_degree, p, q):
+    """All directed (src -> dst) second-order rows for one dst, vectorized
+    over src: the per-src "shares a hyperedge containing dst" test becomes
+    the boolean of ONE sparse product B.T @ B with B = EV[edges ∋ dst][:,
+    dst_nbr] — the triangle condition ∃e ⊇ {src, dst, x} — replacing the
+    per-(src,dst) member-set intersections the reference tabulates across
+    an 80-process pool (ref get_alias_n2n_2nd :222-254).
+    Returns (dists2, values2, keys2) lists."""
+    num_nodes = W.shape[0]
+    s, e = W.indptr[dst], W.indptr[dst + 1]
+    dst_nbr = W.indices[s:e]
+    n = len(dst_nbr)
+    if n == 0:
+        return [], [], []
+    ff_deg = W.data[s:e] * node_degree[dst_nbr] ** -0.5
+    e_dst = VE.indices[VE.indptr[dst]:VE.indptr[dst + 1]]
+    # C[src_i, x_j] = 1  iff some hyperedge contains {src, dst, x}
+    B = EV[e_dst][:, dst_nbr]                       # (|e_dst|, n) sparse
+    C = np.asarray((B.T @ B).todense() > 0)         # (n, n) bool
+    # back[src_i, x_j] = x ∈ nbr(src) or x == src   (ref :234-238)
+    back = np.asarray(W[dst_nbr][:, dst_nbr].todense() > 0)
+    np.fill_diagonal(back, True)
+    PP = np.full((n, n), 1.0 / q)
+    PP[C] /= p                                      # ref :231-232
+    PP[back] *= q
+    PR = PP * ff_deg[None, :]                       # ref :246-249
+    tots = PR.sum(axis=1)
+    ok = tots > 0
+    PR[ok] /= tots[ok, None]
+    dists2 = list(PR)
+    values2 = [dst_nbr] * n
+    keys2 = (dst_nbr.astype(np.int64) * num_nodes + dst).tolist()
+    return dists2, values2, keys2
+
+
+def second_order_tables(W, EV, node_degree, *, p: float = 2,
+                        q: float = 0.25):
+    """Second-order alias tables per directed (src, dst) pair.
+    Returns (tables, edge_keys sorted ascending)."""
+    VE = EV.T.tocsr()
+    EV = EV.tocsr()
+    num_nodes = W.shape[0]
     dists2, values2, keys2 = [], [], []
     for dst in range(num_nodes):
-        s, e = W.indptr[dst], W.indptr[dst + 1]
-        dst_nbr = W.indices[s:e]
-        if len(dst_nbr) == 0:
-            continue
-        ff_dst = W.data[s:e]
-        deg_term = node_degree[dst_nbr] ** -0.5
-        e_dst = VE_indices[VE_indptr[dst]:VE_indptr[dst + 1]]
-        for src in dst_nbr:                  # directed (src -> dst)
-            e_src = VE_indices[VE_indptr[src]:VE_indptr[src + 1]]
-            e1 = np.intersect1d(e_dst, e_src, assume_unique=False)
-            # members of any hyperedge containing both src and dst
-            if len(e1):
-                members = np.unique(np.concatenate(
-                    [EV_indices[EV_indptr[i]:EV_indptr[i + 1]] for i in e1]))
-            else:
-                members = np.zeros(0, dtype=np.int64)
-            pp = np.full(len(dst_nbr), 1.0 / q)
-            pp[np.isin(dst_nbr, members)] /= p          # ref :231-232
-            src_nbr = W.indices[W.indptr[src]:W.indptr[src + 1]]
-            back = np.isin(dst_nbr, src_nbr) | (dst_nbr == src)
-            pp[back] *= q                                # ref :234-238
-            pr = pp * ff_dst * deg_term                  # ref :246-249
-            tot = pr.sum()
-            dists2.append(pr / tot if tot > 0 else pr)
-            values2.append(dst_nbr)
-            keys2.append(src * num_nodes + dst)
+        d2, v2, k2 = _second_order_dst(dst, W, EV, VE, node_degree, p, q)
+        dists2 += d2
+        values2 += v2
+        keys2 += k2
     keys2 = np.asarray(keys2, dtype=np.int64)
     order = np.argsort(keys2)
     second = build_alias_tables([dists2[i] for i in order],
                                 [values2[i] for i in order])
-    edge_keys = keys2[order]
+    return second, keys2[order]
 
+
+def build_walk_tables(num_nodes: int, hyperedges, *, p: float = 2,
+                      q: float = 0.25, weight_backend: str = "auto",
+                      timings: dict | None = None):
+    """Full table-construction phase of the hypergraph walker:
+    incidence -> co-occurrence weights -> first/second-order alias tables.
+    timings: optional dict that receives per-phase wall seconds
+    (scripts/bench_walk_build.py records these at 1M-cluster scale)."""
+    import time as _time
+    t0 = _time.time()
+    ev_mats = incidence_matrices(num_nodes, hyperedges)
+    EV = ev_mats[0]
+    node_degree = np.asarray(EV.sum(axis=0)).reshape(-1)
+    t1 = _time.time()
+    # ff = VE_od @ EV_od : (N, N) node-node weights, diagonal removed —
+    # computed on device by default (see cooccurrence_csr)
+    W = cooccurrence_csr(num_nodes, hyperedges, backend=weight_backend,
+                         ev_matrices=ev_mats)
+    t2 = _time.time()
+    first = first_order_tables(W, node_degree)
+    t3 = _time.time()
+    second, edge_keys = second_order_tables(W, EV, node_degree, p=p, q=q)
+    t4 = _time.time()
+    if timings is not None:
+        timings.update(incidence_s=round(t1 - t0, 2),
+                       cooccurrence_s=round(t2 - t1, 2),
+                       first_order_s=round(t3 - t2, 2),
+                       second_order_s=round(t4 - t3, 2),
+                       w_nnz=int(W.nnz))
+    return first, second, edge_keys
+
+
+def hypergraph_walks(num_nodes: int, hyperedges, *, p: float = 2,
+                     q: float = 0.25, num_walks: int = 10,
+                     walk_length: int = 80, seed: int = 0,
+                     weight_backend: str = "auto",
+                     timings: dict | None = None) -> np.ndarray:
+    """-> (num_nodes * num_walks, walk_length) walks (0-based node ids)."""
+    rng = np.random.default_rng(seed)
+    first, second, edge_keys = build_walk_tables(
+        num_nodes, hyperedges, p=p, q=q, weight_backend=weight_backend,
+        timings=timings)
     # lockstep simulation — the same walker as the clique path
     from matcha_tpu.walks.alias import simulate_second_order_walks
-    return simulate_second_order_walks(num_nodes, first, second, edge_keys,
-                                       num_walks, walk_length, rng)
+    import time as _time
+    t0 = _time.time()
+    walks = simulate_second_order_walks(num_nodes, first, second, edge_keys,
+                                        num_walks, walk_length, rng)
+    if timings is not None:
+        timings["simulate_s"] = round(_time.time() - t0, 2)
+    return walks
