@@ -106,9 +106,11 @@ BASELINE_REF_HYPEREDGES_PER_SEC = 5555.0
 # (sampler RNG/sorts, ~1.3 ms of tiny ops) amortizes by 2048 while larger
 # token streams start losing kernel/VMEM efficiency
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
-# 100-step chunks (~1-2 s) amortize the tunneled host<->device round trip
-# (~100 ms/fetch), which at 20 steps was ~30% of the chunk wall
-STEPS_PER_CHUNK = int(os.environ.get("BENCH_STEPS_PER_CHUNK", 100))
+# 200-step chunks (~0.8 s) amortize the tunneled host<->device round trip
+# jitter (+-50-100 ms per scalar sync): at 100 steps that jitter alone was
+# +-12-25% of the chunk wall (round-5 chunks spread 6.8-9.1M he/s on an
+# unchanged program); 200 halves the relative noise
+STEPS_PER_CHUNK = int(os.environ.get("BENCH_STEPS_PER_CHUNK", 200))
 CHUNKS = int(os.environ.get("BENCH_CHUNKS", 5))
 K_LIST = (2, 3, 4, 5)
 
