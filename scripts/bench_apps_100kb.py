@@ -45,6 +45,8 @@ def main():
                          "batched-forward path (0 = skip)")
     ap.add_argument("--multiway-queries", type=int, default=1000)
     ap.add_argument("--out", default="/tmp/matcha_apps_100kb")
+    ap.add_argument("--max-chroms", type=int, default=0,
+                    help="restrict to the first N chromosomes (CPU shakeout)")
     args = ap.parse_args()
 
     import jax
@@ -59,10 +61,15 @@ def main():
     warm_loop_runtime()
 
     names = [f"chr{i+1}" for i in range(22)] + ["chrX"]
-    genome = GenomeBins(names, HG38, 100_000)
+    sizes_bp = HG38
+    if args.max_chroms:
+        names = names[: args.max_chroms]
+        sizes_bp = HG38[: args.max_chroms]
+    genome = GenomeBins(names, sizes_bp, 100_000)
     n = genome.num_nodes
     print(f"# nodes: {n}", file=sys.stderr)
-    dims = ModelDims(dim=64, n_head=8, num_chroms=23, num_nodes=n,
+    dims = ModelDims(dim=64, n_head=8, num_chroms=genome.num_chroms,
+                     num_nodes=n,
                      compute_dtype="bfloat16",
                      use_pallas_attention=jax.default_backend() != "cpu")
     chrom_sizes = [int(e - s) for s, e in genome.chrom_range]

@@ -44,14 +44,19 @@ def main():
     def loss_fn(p, r):
         return hs.recon_loss_node(p, frozen, dims, flat, table, r)
 
+    # ONE device program per mode: every chromosome draw inside a lax.map,
+    # one fetch (the naive 46-round-trip loop exceeded 30 min over this
+    # tunnel)
     out = {"per_chrom_rel": []}
+    vals = {}
     for mode in (False, True):
         hs._RECON_BF16 = mode
-        f = jax.jit(loss_fn)
-        vals = [float(f(params, r)) for r in range(dims.num_chroms)]
-        out["bf16" if mode else "f32"] = vals
+        f = jax.jit(lambda p: jax.lax.map(
+            lambda r: loss_fn(p, r), jnp.arange(dims.num_chroms)))
+        vals[mode] = np.asarray(jax.device_get(f(params)), np.float64)
+        print(f"# losses mode={mode} done", file=sys.stderr)
     rel = [abs(a - b) / max(abs(a), 1e-12)
-           for a, b in zip(out["f32"], out["bf16"])]
+           for a, b in zip(vals[False], vals[True])]
     out["per_chrom_rel"] = [round(r, 6) for r in rel]
     out["max_rel_loss_drift"] = max(rel)
 
@@ -61,6 +66,7 @@ def main():
         hs._RECON_BF16 = mode
         g = jax.jit(jax.grad(lambda p: loss_fn(p, 0)))(params)
         grads[mode] = jax.device_get(g)
+        print(f"# grads mode={mode} done", file=sys.stderr)
     num = den_a = den_b = 0.0
     max_leaf_rel = 0.0
     for a, b in zip(jax.tree_util.tree_leaves(grads[False]),
