@@ -50,6 +50,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # this jax distro ignores the env var; force via config — without
+        # this a "CPU" shakeout silently grabs (and can wedge) the tunneled
+        # TPU out from under a concurrent bench
+        jax.config.update("jax_platforms", "cpu")
     import h5py
     from bench_100kb import build_frozen_synthetic
     from matcha_tpu.genome import GenomeBins
