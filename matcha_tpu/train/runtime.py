@@ -637,6 +637,7 @@ class Trainer:
         self._pinned_buckets = None
         self._pinned_shape = None
         self._idx_prefetch = None
+        self._dev_metrics_cache = {}
 
     # ------------------------------------------------------------- epochs
     def _place_batch(self, stacked):
@@ -774,11 +775,39 @@ class Trainer:
             batcher, self._place_indices(batcher.next_epoch_indices()))
         return aux
 
+    def _use_device_metrics(self) -> bool:
+        """Device per-size AUROC/AUPRC (train/metrics.py device path): on by
+        default on accelerators — host sklearn on a 3.3M-row epoch costs
+        ~4.7 s (10x the device epoch at bench geometry) and requires the
+        13 MB prediction fetch; the device path fetches scalars.  CPU and
+        mesh runs keep the host path (sklearn parity pinned either way)."""
+        return (jax.default_backend() != "cpu" and self.mesh is None
+                and self.settings.task_mode != "regress"
+                and os.environ.get("MATCHA_DEVICE_METRICS", "1") == "1")
+
     def _finish_indexed(self, aux, elapsed):
-        aux = self._gather_aux(aux)
         _, bs = self._pinned_shape
         shapes = {k: (np.zeros((bs, k), np.int32), None)
                   for k in self._pinned_buckets}
+        if self._use_device_metrics():
+            from matcha_tpu.train.metrics import (device_metrics_fn,
+                                                  metrics_from_device)
+            ck = tuple(sorted((k, bs) for k in self._pinned_buckets)) + \
+                (self.settings.neg_num, self.settings.task_mode)
+            fn = self._dev_metrics_cache.get(ck)
+            if fn is None:
+                y, size = labels_for_batch(shapes, self.settings)
+                fn = device_metrics_fn(y, size)
+                self._dev_metrics_cache[ck] = fn
+            steps = int(aux["pred"].shape[0])
+            pred_size = int(np.prod(aux["pred"].shape))
+            vals = jax.device_get(fn(aux["pred"]))
+            metrics = metrics_from_device(vals, fn.group_sizes, steps)
+            small = jax.device_get({k: v for k, v in aux.items()
+                                    if k != "pred"})
+            return self._epoch_result(small, shapes, elapsed=elapsed,
+                                      metrics=metrics, pred_size=pred_size)
+        aux = self._gather_aux(aux)
         return self._epoch_result(aux, shapes, elapsed=elapsed)
 
     def train_epoch_indexed(self, batcher: BucketedBatcher):
@@ -815,15 +844,19 @@ class Trainer:
                 self.chrom_table, self.blooms or {},
                 self.blooms is not None)
 
-    def _epoch_result(self, aux, stacked_or_shapes, elapsed=None):
+    def _epoch_result(self, aux, stacked_or_shapes, elapsed=None,
+                      metrics=None, pred_size=None):
         """Shared host-side epoch result assembly: labels reconstructed
         structurally from batch shapes, per-size metrics, sampler
-        fallback telemetry, optional throughput."""
-        y, size = labels_for_batch(stacked_or_shapes, self.settings)
-        steps = aux["pred"].shape[0]
-        metrics = size_stratified_metrics(np.tile(y, steps),
-                                          aux["pred"].reshape(-1),
-                                          np.tile(size, steps))
+        fallback telemetry, optional throughput.  metrics/pred_size:
+        precomputed by the device-metrics path (aux then has no "pred")."""
+        if metrics is None:
+            y, size = labels_for_batch(stacked_or_shapes, self.settings)
+            steps = aux["pred"].shape[0]
+            metrics = size_stratified_metrics(np.tile(y, steps),
+                                              aux["pred"].reshape(-1),
+                                              np.tile(size, steps))
+            pred_size = aux["pred"].size
         rows = max(int(aux["fallback_rows"].sum()), 1)
         out = {"bce": float(aux["bce"].mean()),
                "recon": float(aux["recon"].mean()),
@@ -836,7 +869,7 @@ class Trainer:
                "fallback_orig_rate": float(aux["fallback_orig"].sum()) / rows}
         if elapsed is not None:
             out["elapsed"] = elapsed
-            out["hyperedges_per_sec"] = aux["pred"].size / elapsed
+            out["hyperedges_per_sec"] = pred_size / elapsed
         return out
 
     def train_epoch(self, batcher: BucketedBatcher):
@@ -1239,7 +1272,11 @@ class Trainer:
                     jax.block_until_ready(aux["bce"])
                     elapsed = time.time() - t0
                 if jax.process_count() <= 1:
-                    for leaf in jax.tree_util.tree_leaves(aux):
+                    skip_pred = self._use_device_metrics()
+                    for name, leaf in aux.items():
+                        if skip_pred and name == "pred":
+                            continue   # metrics computed on device; the
+                                       # 13 MB prediction fetch is skipped
                         leaf.copy_to_host_async()
                 pending = (epoch, aux, elapsed, ev_handle, snap)
                 continue
@@ -1252,7 +1289,10 @@ class Trainer:
                 # start the (big) per-step prediction fetch now so the host
                 # copy overlaps eval's device compute
                 if jax.process_count() <= 1:
-                    for leaf in jax.tree_util.tree_leaves(aux):
+                    skip_pred = self._use_device_metrics()
+                    for name, leaf in aux.items():
+                        if skip_pred and name == "pred":
+                            continue
                         leaf.copy_to_host_async()
                 ev = self.eval_epoch(test_buckets, batch_size=batch_size,
                                      seed=seed + epoch)

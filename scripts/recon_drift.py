@@ -44,16 +44,17 @@ def main():
     def loss_fn(p, r):
         return hs.recon_loss_node(p, frozen, dims, flat, table, r)
 
-    # ONE device program per mode: every chromosome draw inside a lax.map,
-    # one fetch (the naive 46-round-trip loop exceeded 30 min over this
-    # tunnel)
+    # ONE small jitted program per mode (r traced), 23 async dispatches,
+    # a single batched fetch: the naive per-call float() loop cost 46
+    # tunnel round trips (>30 min), and a lax.map-over-chroms variant
+    # reproducibly broke the tunnel's remote_compile on the large program
     out = {"per_chrom_rel": []}
     vals = {}
     for mode in (False, True):
         hs._RECON_BF16 = mode
-        f = jax.jit(lambda p: jax.lax.map(
-            lambda r: loss_fn(p, r), jnp.arange(dims.num_chroms)))
-        vals[mode] = np.asarray(jax.device_get(f(params)), np.float64)
+        f = jax.jit(loss_fn)
+        pend = [f(params, r) for r in range(dims.num_chroms)]
+        vals[mode] = np.asarray(jax.device_get(pend), np.float64)
         print(f"# losses mode={mode} done", file=sys.stderr)
     rel = [abs(a - b) / max(abs(a), 1e-12)
            for a, b in zip(vals[False], vals[True])]
