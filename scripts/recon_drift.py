@@ -41,19 +41,23 @@ def main():
     rng = np.random.default_rng(0)
     flat = jnp.asarray(rng.integers(1, n + 1, size=32768), jnp.int32)
 
-    def loss_fn(p, r):
-        return hs.recon_loss_node(p, frozen, dims, flat, table, r)
+    # frozen/table/flat must be jit ARGUMENTS: closed-over device arrays
+    # are baked into the executable as constants, and the 1.9 GB inter_z
+    # then rides the tunnel's remote_compile payload — which reproducibly
+    # breaks the pipe (three dead runs before this form)
+    def loss_fn(p, fr, fl, tab, r):
+        return hs.recon_loss_node(p, fr, dims, fl, tab, r)
 
     # ONE small jitted program per mode (r traced), 23 async dispatches,
-    # a single batched fetch: the naive per-call float() loop cost 46
-    # tunnel round trips (>30 min), and a lax.map-over-chroms variant
-    # reproducibly broke the tunnel's remote_compile on the large program
+    # a single batched fetch (the naive per-call float() loop cost 46
+    # tunnel round trips, >30 min)
     out = {"per_chrom_rel": []}
     vals = {}
     for mode in (False, True):
         hs._RECON_BF16 = mode
         f = jax.jit(loss_fn)
-        pend = [f(params, r) for r in range(dims.num_chroms)]
+        pend = [f(params, frozen, flat, table, r)
+                for r in range(dims.num_chroms)]
         vals[mode] = np.asarray(jax.device_get(pend), np.float64)
         print(f"# losses mode={mode} done", file=sys.stderr)
     rel = [abs(a - b) / max(abs(a), 1e-12)
@@ -65,7 +69,7 @@ def main():
     grads = {}
     for mode in (False, True):
         hs._RECON_BF16 = mode
-        g = jax.jit(jax.grad(lambda p: loss_fn(p, 0)))(params)
+        g = jax.jit(jax.grad(loss_fn))(params, frozen, flat, table, 0)
         grads[mode] = jax.device_get(g)
         print(f"# grads mode={mode} done", file=sys.stderr)
     num = den_a = den_b = 0.0
