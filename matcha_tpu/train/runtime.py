@@ -630,6 +630,11 @@ class Trainer:
         # next epoch's buffer donation (fit's overlapped eval/checkpoint)
         self._snap_fn = jax.jit(
             lambda tree: jax.tree_util.tree_map(jnp.copy, tree))
+        # jitted embedding export (frozen passed as an argument — closing
+        # over it would bake the tables into the executable)
+        from matcha_tpu.models.hypersagnn import node_embeddings
+        self._emb_export_fn = jax.jit(
+            lambda p, fr: node_embeddings(p, fr, dims))
         self._train_epoch_jit = train_epoch_fn     # raw jitted fns (lowering
         self._device_epoch_jit = device_epoch_fn   # / AOT-compile hooks)
         self._epoch_indexed_jit = epoch_indexed_fn
@@ -1246,7 +1251,7 @@ class Trainer:
         pending = None
 
         def finalize(p):
-            ep, aux_p, elapsed_p, ev_handle, snap, mx_p = p
+            ep, aux_p, elapsed_p, ev_handle, snap, mx_p, emb_dev = p
             ev = self._finish_eval(ev_handle)
             tr = self._finish_indexed(aux_p, elapsed_p, mx=mx_p)
             pk, ok, kk = snap if snap is not None else (None, None, None)
@@ -1254,7 +1259,11 @@ class Trainer:
             if embeddings_path is not None and ep + 1 < epochs:
                 # the serial loop's epoch-(ep+1) top-of-loop export: same
                 # values (params after epoch ep), off the critical path
-                self.export_embeddings(embeddings_path, params=pk)
+                if emb_dev is not None:
+                    if jax.process_count() <= 1 or jax.process_index() == 0:
+                        np.save(embeddings_path, np.asarray(emb_dev))
+                else:
+                    self.export_embeddings(embeddings_path, params=pk)
 
         for epoch in range(start_epoch, epochs):
             if embeddings_path is not None and (not overlap
@@ -1282,9 +1291,24 @@ class Trainer:
                         pinned_eval, seed=seed + epoch)
                         if pinned_eval is not None else None)
                     snap = None
+                    emb_dev = None
                     if need_snap:
                         s = self._snap_fn(self.state)
                         snap = (s.params, s.opt_state, s.key)
+                        if checkpoint_path or resume_path:
+                            # start the D2H copies now: the snap executes
+                            # right after this epoch's eval on device, so
+                            # the transfer hides under the NEXT epoch
+                            for leaf in jax.tree_util.tree_leaves(
+                                    (s.params, s.opt_state)):
+                                leaf.copy_to_host_async()
+                        if embeddings_path is not None and self.mesh is None:
+                            # export's device part dispatches HERE — a
+                            # finalize-time dispatch would enqueue behind
+                            # the next epoch and serialize the pipeline
+                            emb_dev = self._emb_export_fn(s.params,
+                                                          self.frozen)
+                            emb_dev.copy_to_host_async()
                     # previous epoch's host work overlaps this epoch's
                     # device compute
                     if pending is not None:
@@ -1298,7 +1322,8 @@ class Trainer:
                             continue   # metrics computed on device; the
                                        # 13 MB prediction fetch is skipped
                         leaf.copy_to_host_async()
-                pending = (epoch, aux, elapsed, ev_handle, snap, mx)
+                pending = (epoch, aux, elapsed, ev_handle, snap, mx,
+                           emb_dev)
                 continue
             if use_indexed:
                 with prof:

@@ -87,7 +87,6 @@ def main():
                                float(np.abs(a - b).max() / na))
     out["grad_cosine"] = num / max(np.sqrt(den_a * den_b), 1e-30)
     out["grad_max_leaf_rel"] = max_leaf_rel
-    del out["f32"], out["bf16"]
     print(json.dumps(out))
 
 
