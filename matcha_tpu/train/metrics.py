@@ -57,17 +57,21 @@ def _group_metrics_device(p, y):
     import jax
     import jax.numpy as jnp
     m = p.shape[0]
-    y = y.astype(jnp.float32)
-    order = jnp.argsort(p)                       # ascending
-    ps = p[order]
-    ys = y[order]
+    # co-sort labels with predictions (lax.sort multi-operand): an
+    # argsort + gathers formulation costs several latency-bound random
+    # gathers over the full epoch volume (~0.5 s each at 32M rows); every
+    # step below is a bandwidth-bound vector pass instead
+    ps, ys = jax.lax.sort((p, y.astype(jnp.float32)), num_keys=1)
     r = jnp.arange(1, m + 1, dtype=jnp.float32)
     new_blk = jnp.concatenate(
         [jnp.ones((1,), bool), ps[1:] != ps[:-1]])
-    seg = jnp.cumsum(new_blk.astype(jnp.int32)) - 1
-    first = jax.ops.segment_min(r, seg, num_segments=m)
-    last = jax.ops.segment_max(r, seg, num_segments=m)
-    midrank = (first[seg] + last[seg]) * 0.5
+    is_end = jnp.concatenate([ps[1:] != ps[:-1], jnp.ones((1,), bool)])
+    # tie-block first/last rank broadcast WITHOUT segment gathers:
+    # ranks ascend, so a running max of block-start ranks is the current
+    # block's first; a reversed running min of block-end ranks is its last
+    first_b = jax.lax.cummax(jnp.where(new_blk, r, 0.0))
+    last_b = jax.lax.cummin(jnp.where(is_end, r, jnp.inf)[::-1])[::-1]
+    midrank = (first_b + last_b) * 0.5
     n_pos = jnp.sum(ys)
     n_neg = m - n_pos
     auroc = jnp.where(
@@ -76,17 +80,29 @@ def _group_metrics_device(p, y):
         / jnp.maximum(n_pos * n_neg, 1.0),
         jnp.nan)
 
-    # average precision over descending scores, ties collapsed to block end
-    pd = ps[::-1]
+    # average precision over descending scores, ties collapsed to the
+    # block end: each row contributes its recall delta x the precision at
+    # its block's end.  In descending order a block's end is its LAST row,
+    # so the block-end precision per row is a reversed "hold last flagged
+    # value" associative scan — again no gathers.
     yd = ys[::-1]
     tp = jnp.cumsum(yd)
     i = jnp.arange(1, m + 1, dtype=jnp.float32)
     prec = tp / i
     rec = tp / jnp.maximum(n_pos, 1.0)
-    new_d = jnp.concatenate([jnp.ones((1,), bool), pd[1:] != pd[:-1]])
-    seg_d = jnp.cumsum(new_d.astype(jnp.int32)) - 1
-    idx_end = jax.ops.segment_max(jnp.arange(m), seg_d, num_segments=m)
-    prec_end = prec[idx_end[seg_d]]              # block-end precision / row
+    # descending sequence = reversed ascending; a block end in descending
+    # order is where the NEXT descending value differs = reversed new_blk
+    is_end_d = new_blk[::-1]
+    flag_val = jnp.where(is_end_d, prec, 0.0)
+
+    def hold(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, prec_end = jax.lax.associative_scan(
+        hold, (is_end_d[::-1], flag_val[::-1]))
+    prec_end = prec_end[::-1]
     d_rec = jnp.diff(jnp.concatenate([jnp.zeros((1,)), rec]))
     ap = jnp.where(n_pos > 0, jnp.sum(d_rec * prec_end), jnp.nan)
 
