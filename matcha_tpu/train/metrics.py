@@ -123,20 +123,45 @@ def device_metrics_fn(y: np.ndarray, sizes: np.ndarray):
     for s in np.unique(sizes):
         groups[int(s)] = np.flatnonzero(sizes == s)
     ypos = (y > 0.5).astype(np.float32)
+    # Compile-cost rule (measured on the tunneled TPU backend): any
+    # epoch-length array BAKED INTO the program — tile(ypos[cols], steps)
+    # literals, gather index literals — blows XLA constant folding up to
+    # multi-minute (>8 min at 200x32768, vs seconds with none).  So the
+    # per-step labels enter as a runtime ARGUMENT (tiled by a runtime
+    # broadcast) and contiguous groups (labels_for_batch emits per-k
+    # blocks) are lax.slice'd, not gathered.
+    spans = {}
+    for name, cols in groups.items():
+        contig = cols.size > 0 and np.array_equal(
+            cols, np.arange(cols[0], cols[-1] + 1))
+        spans[name] = (int(cols[0]), int(cols[-1]) + 1) if contig else None
 
     @jax.jit
-    def f(preds):
+    def f(preds, yrow):
         flat = preds.reshape(preds.shape[0], -1).astype(jnp.float32)
-        steps = preds.shape[0]
+        steps = flat.shape[0]
         out = {}
         for name, cols in groups.items():
-            p = flat[:, cols].reshape(-1)
-            yy = jnp.tile(jnp.asarray(ypos[cols]), steps)
+            span = spans[name]
+            if span is not None:
+                s0, s1 = span
+                p = jax.lax.slice(flat, (0, s0), (steps, s1))
+                yg = jax.lax.slice(yrow, (s0,), (s1,))
+            else:    # non-contiguous group (regress-mode layouts)
+                p = flat[:, cols]
+                yg = yrow[cols]
+            yy = jnp.broadcast_to(yg, p.shape).reshape(-1)
             # str keys: a jit-returned dict pytree cannot mix int and str
-            out[str(name)] = _group_metrics_device(p, yy)
+            out[str(name)] = _group_metrics_device(p.reshape(-1), yy)
         return out
-    f.group_sizes = {name: int(cols.size) for name, cols in groups.items()}
-    return f
+
+    yrow_dev = jnp.asarray(ypos)
+
+    def wrapped(preds):
+        return f(preds, yrow_dev)
+    wrapped.group_sizes = {name: int(cols.size)
+                           for name, cols in groups.items()}
+    return wrapped
 
 
 def metrics_from_device(vals: Dict, group_sizes: Dict, steps: int) -> Dict:

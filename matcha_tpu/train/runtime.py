@@ -1425,8 +1425,16 @@ class Trainer:
         Code/main.py:462-479 -> ../embeddings.npy).  params: an explicit
         parameter tree (fit's overlapped path passes the post-epoch
         snapshot; default = the live state)."""
-        emb = node_embeddings(self.state.params if params is None
-                              else params, self.frozen, self.dims)
+        p = self.state.params if params is None else params
+        if self.mesh is None:
+            # jitted: ONE dispatch.  Eager tracing is op-by-op — measured
+            # 121.6 s (first call) vs 1.4 s jitted on the tunneled PJRT
+            # backend, where every eager op is a network round trip
+            emb = self._emb_export_fn(p, self.frozen)
+        else:
+            # mesh path stays eager: output shardings follow the inputs and
+            # the multi-process replicate_to_host handles placement
+            emb = node_embeddings(p, self.frozen, self.dims)
         if self.mesh is not None and jax.process_count() > 1:
             from matcha_tpu.parallel.distributed import replicate_to_host
             emb = replicate_to_host(emb, self.mesh)
